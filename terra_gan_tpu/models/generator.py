@@ -1,0 +1,139 @@
+"""PConv U-Net generator (TPU-native rebuild).
+
+Architecture contract (reference: mvp_gan/src/models/generator.py):
+  * 7 encoder PConv stages, widths 64/128/256/512x4, kernels
+    7,5,5,3,3,3,3, all stride 2, padding k//2 (generator.py:13-19).
+  * 7 decoder stages: bilinear x2 upsample (align_corners=False) of
+    features + nearest x2 of masks, pad-to-match, channel-concat skip,
+    element-max mask merge, then a stride-1 k3 PConv
+    (generator.py:66-76).
+  * final 64->1 conv + sigmoid, then composite
+    `out*(1-mask) + x*mask` so valid pixels are copied from the input
+    (generator.py:56-62).
+
+TPU-native deltas: NHWC layout throughout; masks are [B,H,W,1]; the
+widths are parameterized by `base_width` (reference = 64) so sharded
+dry-runs and tests can use small models; compute dtype is pluggable
+(fp32 for parity, bf16 for speed).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from jax import lax
+from flax import linen as nn
+
+from ..ops.pconv import partial_conv2d
+from ..ops.resize import pad_to_match, upsample2x_bilinear, upsample2x_nearest
+from .layers import TorchBatchNorm, torch_conv_bias_init, torch_conv_kernel_init
+
+
+class PConv2d(nn.Module):
+    """Partial conv + optional BatchNorm + ReLU (pconv.py:25-50)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_batch_norm: bool = True
+    compute_dtype: Optional[Any] = None
+    precision: Optional[Any] = "highest"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool):
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init, (k, k, in_ch, self.features)
+        )
+        bias = self.param(
+            "bias", torch_conv_bias_init(k * k * in_ch), (self.features,)
+        )
+        out, new_mask = partial_conv2d(
+            x, mask, kernel, bias, self.stride, self.padding,
+            compute_dtype=self.compute_dtype, precision=self.precision,
+        )
+        if self.use_batch_norm:
+            out = TorchBatchNorm(name="bn")(out, use_running_average=not train)
+        out = nn.relu(out)
+        return out, new_mask
+
+
+class PConvUNet(nn.Module):
+    """Partial-convolution U-Net for DSM inpainting.
+
+    Input x: [B, H, W, 1] in [0, 1]; mask: [B, H, W, 1], 1 = preserved.
+    Returns the composited inpainted image, same shape as x.
+    """
+
+    base_width: int = 64
+    compute_dtype: Optional[Any] = None
+    precision: Optional[Any] = "highest"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool = False):
+        w = self.base_width
+        cd = self.compute_dtype
+        enc_specs = [
+            (w, 7), (2 * w, 5), (4 * w, 5), (8 * w, 3),
+            (8 * w, 3), (8 * w, 3), (8 * w, 3),
+        ]
+
+        # Encoder
+        feats, masks = [x], [mask]
+        h, m = x, mask
+        for i, (f, k) in enumerate(enc_specs):
+            h, m = PConv2d(
+                features=f, kernel_size=k, stride=2, padding=k // 2,
+                compute_dtype=cd, precision=self.precision, name=f"enc{i + 1}",
+            )(h, m, train)
+            feats.append(h)
+            masks.append(m)
+
+        # Decoder with skip connections: dec7 consumes e7 + skip e6, ...
+        dec_widths = [8 * w, 8 * w, 8 * w, 4 * w, 2 * w, w]
+        for i, f in enumerate(dec_widths):
+            skip_f, skip_m = feats[6 - i], masks[6 - i]
+            dec = PConv2d(features=f, kernel_size=3, padding=1,
+                          compute_dtype=cd, precision=self.precision,
+                          name=f"dec{7 - i}")
+            h, m = self._decode_step(h, m, skip_f, skip_m, dec, train)
+
+        # Final decode without skip (generator.py:50-57)
+        h = upsample2x_bilinear(h)
+        m = upsample2x_nearest(m)
+        h = pad_to_match(h, x.shape[1], x.shape[2])
+        m = pad_to_match(m, mask.shape[1], mask.shape[2])
+        m = jnp.maximum(m, mask)
+        h, _ = PConv2d(features=w, kernel_size=3, padding=1,
+                       compute_dtype=cd, precision=self.precision,
+                       name="dec1")(h, m, train)
+
+        final_kernel = self.param(
+            "final_kernel", torch_conv_kernel_init, (3, 3, w, 1)
+        )
+        final_bias = self.param("final_bias", torch_conv_bias_init(9 * w), (1,))
+        hi = h if cd is None else h.astype(cd)
+        ki = final_kernel if cd is None else final_kernel.astype(cd)
+        out = lax.conv_general_dilated(
+            hi, ki, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+            precision=self.precision,
+        ) + final_bias
+        out = nn.sigmoid(out)
+
+        # Composite: holes from the net, valid pixels from the input
+        # (generator.py:59-62).
+        return out * (1.0 - mask) + x * mask
+
+    def _decode_step(self, up_f, up_m, skip_f, skip_m, dec, train):
+        up_f = upsample2x_bilinear(up_f)
+        up_m = upsample2x_nearest(up_m)
+        up_f = pad_to_match(up_f, skip_f.shape[1], skip_f.shape[2])
+        up_m = pad_to_match(up_m, skip_m.shape[1], skip_m.shape[2])
+        merged_f = jnp.concatenate([up_f, skip_f], axis=-1)
+        merged_m = jnp.maximum(up_m, skip_m)
+        return dec(merged_f, merged_m, train)

@@ -1,0 +1,76 @@
+"""Fixed-factor spatial resampling ops, exact to the reference semantics.
+
+The reference decoder upsamples features with
+``torch.nn.functional.interpolate(scale_factor=2, mode='bilinear',
+align_corners=False)`` and masks with ``mode='nearest'``
+(reference: mvp_gan/src/models/generator.py:50-51,66-67).
+
+With half-pixel centers and an integer factor of 2, bilinear
+interpolation reduces to a fixed 2-tap stencil per axis:
+
+  out[2i]   = 0.25 * in[clamp(i-1)] + 0.75 * in[i]
+  out[2i+1] = 0.75 * in[i]          + 0.25 * in[clamp(i+1)]
+
+which we implement directly with shifts + interleaving instead of a
+gather-based generic resize — it fuses into neighbouring elementwise
+ops under XLA and avoids the dynamic-slice lowering of
+``jax.image.resize``. All ops are NHWC (TPU-native layout).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _upsample2x_linear_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Double the size of `axis` with torch bilinear (align_corners=False) taps."""
+    prev_slice = [slice(None)] * x.ndim
+    next_slice = [slice(None)] * x.ndim
+    first = [slice(None)] * x.ndim
+    last = [slice(None)] * x.ndim
+    prev_slice[axis] = slice(None, -1)
+    next_slice[axis] = slice(1, None)
+    first[axis] = slice(None, 1)
+    last[axis] = slice(-1, None)
+
+    x_prev = jnp.concatenate([x[tuple(first)], x[tuple(prev_slice)]], axis=axis)
+    x_next = jnp.concatenate([x[tuple(next_slice)], x[tuple(last)]], axis=axis)
+
+    even = 0.25 * x_prev + 0.75 * x
+    odd = 0.75 * x + 0.25 * x_next
+
+    stacked = jnp.stack([even, odd], axis=axis + 1)
+    new_shape = list(x.shape)
+    new_shape[axis] = x.shape[axis] * 2
+    return stacked.reshape(new_shape)
+
+
+def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
+    """NHWC 2x bilinear upsample, exact torch `align_corners=False` weights."""
+    x = _upsample2x_linear_axis(x, axis=1)
+    x = _upsample2x_linear_axis(x, axis=2)
+    return x
+
+
+def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
+    """NHWC 2x nearest upsample: out[2i] = out[2i+1] = in[i] (torch 'nearest')."""
+    x = jnp.repeat(x, 2, axis=1)
+    x = jnp.repeat(x, 2, axis=2)
+    return x
+
+
+def pad_to_match(x: jnp.ndarray, target_h: int, target_w: int) -> jnp.ndarray:
+    """Zero-pad NHWC tensor spatially to (target_h, target_w).
+
+    Matches the reference's `_pad_to_match` split: left/top gets diff//2,
+    right/bottom the remainder (generator.py:78-84). Shapes are static
+    under jit, so this is trace-time arithmetic.
+    """
+    dh = target_h - x.shape[1]
+    dw = target_w - x.shape[2]
+    if dh == 0 and dw == 0:
+        return x
+    return jnp.pad(
+        x,
+        ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)),
+    )
