@@ -2,7 +2,13 @@
 
 Multi-device sharding logic (DP/spatial meshes) is tested on a virtual
 8-device CPU mesh so no TPU slice is required, per the project build
-rules. Must run before jax initializes its backends.
+rules.
+
+NOTE: this environment registers an `axon` TPU PJRT plugin from
+sitecustomize and pins JAX_PLATFORMS=axon; the env var alone is NOT
+enough to get CPU — we must override the jax config after import,
+before any backend is touched. XLA_FLAGS must still be set before the
+CPU client is created (first device query).
 """
 
 import os
@@ -13,6 +19,10 @@ if "--xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 from pathlib import Path
