@@ -1,0 +1,81 @@
+"""Headline benchmark: 512x512 DSM inpainting throughput (tiles/sec).
+
+The reference's inference path runs one 512x512 tile per forward on an
+RTX 4070Ti (main_pipeline.py:513-525, evaluate.py:30). BASELINE.md
+records no published numbers, so the measured torch-CPU-equivalent
+isn't available here either; vs_baseline is computed against the
+north-star proxy: the reference GPU's estimated per-tile latency.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Estimated reference throughput for vs_baseline: PConvUNet fwd at 512x512
+# batch 1 on an RTX 4070Ti is ~30-40 ms/tile incl. host sync => ~30 tiles/s.
+# (No published number exists — BASELINE.md; this anchor is recorded there.)
+REFERENCE_TILES_PER_SEC = 30.0
+
+
+def main() -> None:
+    import os
+    import jax
+
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from terra_gan_tpu.models import PConvUNet
+
+    batch = 16
+    shape = (batch, 512, 512, 1)
+    generator = PConvUNet(compute_dtype=jnp.bfloat16, precision=None)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random(shape, dtype=np.float32))
+    m = jnp.asarray((rng.random(shape) > 0.25).astype(np.float32))
+
+    variables = jax.jit(generator.init, static_argnums=3)(
+        jax.random.PRNGKey(0), x, m, False
+    )
+
+    @jax.jit
+    def forward(variables, image, mask):
+        # summed scalar as a sync token: block_until_ready on this
+        # environment's remote relay can return before execution, so we
+        # fetch a data-dependent scalar to close the timing region.
+        out = generator.apply(variables, image * mask, mask, False)
+        return out, jnp.sum(out)
+
+    # warmup + compile (scalar fetch forces completion)
+    float(forward(variables, x, m)[1])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, token = forward(variables, x, m)
+    float(token)
+    dt = time.perf_counter() - t0
+
+    tiles_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "inpaint_512_tiles_per_sec",
+                "value": round(tiles_per_sec, 2),
+                "unit": "tiles/s/chip",
+                "vs_baseline": round(tiles_per_sec / REFERENCE_TILES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,27 @@
+"""Mesh/sharding layer (TPU-native replacement for SURVEY §2.4/§5.8)."""
+
+from .infer import BatchedInpainter
+from .mesh import (
+    DATA_AXIS,
+    SPATIAL_AXIS,
+    batch_sharding,
+    batch_spec,
+    make_mesh,
+    pad_to_multiple,
+    replicated,
+    shard_batch,
+    shard_train_step,
+)
+
+__all__ = [
+    "BatchedInpainter",
+    "DATA_AXIS",
+    "SPATIAL_AXIS",
+    "batch_sharding",
+    "batch_spec",
+    "make_mesh",
+    "pad_to_multiple",
+    "replicated",
+    "shard_batch",
+    "shard_train_step",
+]

@@ -1,0 +1,88 @@
+"""Grid-scale batched inference.
+
+The reference inpaints tiles one at a time at batch size 1 in a Python
+loop (main_pipeline.py:513-525, evaluate.py:30) — the single biggest
+throughput loss in the system. Here a whole parent grid (up to 100
+child tiles) is inpainted as one device-sharded batch: tiles stacked
+on the leading axis, sharded over the mesh's "data" axis, one jit call
+per chunk, with double-buffered host->device transfer of the next
+chunk while the current one computes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mesh import batch_sharding, make_mesh, pad_to_multiple, replicated
+
+
+class BatchedInpainter:
+    """Sharded batched forward of the generator in eval mode.
+
+    Usage:
+        inp = BatchedInpainter(generator, variables, mesh=mesh)
+        out = inp(images, masks)   # [N,H,W,1] float32 in [0,1]
+    """
+
+    def __init__(
+        self,
+        generator,
+        variables: Dict[str, Any],
+        mesh=None,
+        chunk: int = 32,
+        compute_dtype: Optional[Any] = None,
+    ):
+        self.generator = generator
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.chunk = chunk
+        self.n_dev = self.mesh.shape["data"] * self.mesh.shape["spatial"]
+        self.bshard = batch_sharding(self.mesh)
+        self.variables = jax.device_put(variables, replicated(self.mesh))
+
+        def forward(variables, images, masks):
+            out = generator.apply(variables, images * masks, masks, False)
+            return out
+
+        self._forward = jax.jit(
+            forward,
+            in_shardings=(replicated(self.mesh), self.bshard, self.bshard),
+            out_shardings=self.bshard,
+        )
+
+    def __call__(self, images: np.ndarray, masks: np.ndarray) -> np.ndarray:
+        """Inpaint a stack of tiles. images/masks: [N,H,W,1] float32."""
+        n = images.shape[0]
+        outs = []
+        step = max(self.chunk, self.n_dev)
+        # round chunk down to a device multiple
+        step -= step % self.n_dev
+        pending: Optional[Tuple[jax.Array, int]] = None
+        for start in range(0, n, step):
+            arrs = {
+                "image": images[start : start + step],
+                "mask": masks[start : start + step],
+            }
+            arrs, pad = pad_to_multiple(arrs, self.n_dev)
+            img = jax.device_put(arrs["image"], self.bshard)
+            msk = jax.device_put(arrs["mask"], self.bshard)
+            out = self._forward(self.variables, img, msk)
+            if pending is not None:
+                prev_out, prev_pad = pending
+                outs.append(self._finish(prev_out, prev_pad))
+            pending = (out, pad)
+        if pending is not None:
+            outs.append(self._finish(*pending))
+        return (
+            np.concatenate(outs, axis=0)
+            if outs
+            else np.zeros((0,) + images.shape[1:], np.float32)
+        )
+
+    @staticmethod
+    def _finish(out: jax.Array, pad: int) -> np.ndarray:
+        host = np.asarray(out)
+        return host[: host.shape[0] - pad] if pad else host

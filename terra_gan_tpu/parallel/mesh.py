@@ -1,0 +1,111 @@
+"""Device mesh + sharding helpers (the framework's "distributed backend").
+
+The reference has no distributed execution at all — one CUDA device,
+sequential tile loops (SURVEY §2.4). The TPU-native replacement is a
+`jax.sharding.Mesh` with two logical axes:
+
+  * "data"    — batch (tile) axis: data-parallel training and
+                grid-scale batched inference. Gradient/BatchNorm
+                reductions become XLA psums over ICI.
+  * "spatial" — image-height axis: spatial partitioning for tiles too
+                large for one chip's HBM; XLA's SPMD partitioner
+                inserts the conv halo exchanges automatically. This is
+                the conv-net analogue of sequence/context parallelism
+                (SURVEY §5.7).
+
+Everything is a NamedSharding over this mesh; the train step is jitted
+with state replicated and the batch sharded, so the only collectives
+are the grad/BN reductions XLA inserts.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    spatial: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, spatial) mesh over the available devices.
+
+    n_devices defaults to all local devices; `spatial` splits off that
+    many devices for height-wise spatial partitioning (must divide
+    n_devices).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = n_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, have {len(devices)}")
+    if n % spatial != 0:
+        raise ValueError(f"spatial={spatial} must divide n_devices={n}")
+    grid = np.asarray(devices[:n]).reshape(n // spatial, spatial)
+    return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
+
+
+def batch_spec(mesh: Mesh, shard_spatial: bool = False) -> P:
+    """PartitionSpec for an NHWC batch: shard N on data, optionally H."""
+    if shard_spatial and mesh.shape[SPATIAL_AXIS] > 1:
+        return P(DATA_AXIS, SPATIAL_AXIS, None, None)
+    return P(DATA_AXIS)
+
+
+def batch_sharding(mesh: Mesh, shard_spatial: bool = False) -> NamedSharding:
+    return NamedSharding(mesh, batch_spec(mesh, shard_spatial))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(
+    batch: Dict[str, jax.Array], mesh: Mesh, shard_spatial: bool = False
+) -> Dict[str, jax.Array]:
+    """Place a host batch dict onto the mesh, sharded over tiles."""
+    sharding = batch_sharding(mesh, shard_spatial)
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def pad_to_multiple(
+    arrays: Dict[str, np.ndarray], multiple: int
+) -> Tuple[Dict[str, np.ndarray], int]:
+    """Pad the leading (tile) axis so it divides the mesh; returns pad count.
+
+    Padding repeats the last element so BatchNorm statistics stay
+    finite; callers slice the output back to the true count.
+    """
+    n = next(iter(arrays.values())).shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return arrays, 0
+    padded = {
+        k: np.concatenate([v, np.repeat(v[-1:], rem, axis=0)], axis=0)
+        for k, v in arrays.items()
+    }
+    return padded, rem
+
+
+def shard_train_step(step_fn, mesh: Mesh, shard_spatial: bool = False):
+    """Wrap a train step for SPMD execution over the mesh.
+
+    state/vgg replicated, batch sharded over tiles (and optionally H).
+    Under jit's global view, batch-axis reductions (BatchNorm means,
+    loss means, and thus gradients) automatically become cross-device
+    psums — exactly single-device semantics, faster.
+    """
+    repl = replicated(mesh)
+    bshard = batch_sharding(mesh, shard_spatial)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, {"image": bshard, "mask": bshard}, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,138 @@
+"""Sharded execution on the virtual 8-device CPU mesh.
+
+Gates: (a) a DP-sharded train step runs and matches the single-device
+step bit-for-bit in semantics (global-view BatchNorm/grad reductions),
+(b) spatially-sharded inference matches unsharded, (c) batched
+inference equals the per-tile loop the reference uses.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from terra_gan_tpu.losses import InpaintingLossConfig
+from terra_gan_tpu.models import Discriminator, PConvUNet
+from terra_gan_tpu.parallel import (
+    BatchedInpainter,
+    make_mesh,
+    pad_to_multiple,
+    shard_batch,
+    shard_train_step,
+)
+from terra_gan_tpu.training import GANTrainState, adam, make_train_step
+
+LOSS_CFG = InpaintingLossConfig(perceptual_weight=0.0)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def models():
+    return PConvUNet(base_width=8), Discriminator(base_width=8)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(3)
+    img = rng.random((8, 128, 128, 1), dtype=np.float32)
+    mask = (rng.random((8, 128, 128, 1)) > 0.3).astype(np.float32)
+    return {"image": img, "mask": mask}
+
+
+def make_state(models, key=0):
+    G, D = models
+    return GANTrainState.create(
+        G, D, jax.random.PRNGKey(key), sample_shape=(2, 128, 128, 1)
+    )
+
+
+class TestShardedTrainStep:
+    def test_matches_single_device(self, models, batch):
+        G, D = models
+        state1 = make_state(models)
+        state2 = jax.tree.map(jnp.copy, state1)
+
+        single = make_train_step(G, D, adam(), adam(), LOSS_CFG, donate=False)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        s1, m1 = single(state1, jb, None)
+
+        mesh = make_mesh(8)
+        raw = make_train_step(
+            G, D, adam(), adam(), LOSS_CFG, jit_compile=False
+        )
+        sharded = shard_train_step(raw, mesh)
+        sb = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+        s2, m2 = sharded(state2, sb, None)
+
+        # identical semantics: global-view BN + loss means
+        for k in m1:
+            np.testing.assert_allclose(
+                float(m1[k]), float(m2[k]), rtol=2e-5, atol=1e-6
+            )
+        # Cross-device psum reassociates float sums; Adam's first step is
+        # ~±lr*sign(grad), so near-zero grads can land up to 2*lr apart
+        # (see test_train_step.py). Bound by that worst case.
+        diff = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.g_params, s2.g_params
+        )
+        assert max(jax.tree.leaves(diff)) < 2.2 * 2e-4
+
+    def test_data_spatial_mesh(self, models, batch):
+        """2D (data=4, spatial=2) mesh: batch AND height sharded."""
+        G, D = models
+        state = make_state(models)
+        mesh = make_mesh(8, spatial=2)
+        raw = make_train_step(
+            G, D, adam(), adam(), LOSS_CFG, jit_compile=False
+        )
+        sharded = shard_train_step(raw, mesh, shard_spatial=True)
+        sb = shard_batch(
+            {k: jnp.asarray(v) for k, v in batch.items()}, mesh,
+            shard_spatial=True,
+        )
+        s2, m2 = sharded(state, sb, None)
+        assert np.isfinite(float(m2["g_loss"]))
+        assert int(s2.step) == 1
+
+
+class TestBatchedInference:
+    def test_matches_per_tile_loop(self, models, batch):
+        G, _ = models
+        state = make_state(models)
+        variables = state.generator_variables()
+        mesh = make_mesh(8)
+        inpainter = BatchedInpainter(G, variables, mesh=mesh, chunk=8)
+        out = inpainter(batch["image"], batch["mask"])
+
+        # reference-style loop: one tile at a time (evaluate.py:30)
+        fwd = jax.jit(lambda v, x, m: G.apply(v, x * m, m, False))
+        for i in range(batch["image"].shape[0]):
+            want = np.asarray(
+                fwd(
+                    variables,
+                    jnp.asarray(batch["image"][i : i + 1]),
+                    jnp.asarray(batch["mask"][i : i + 1]),
+                )
+            )
+            np.testing.assert_allclose(out[i : i + 1], want, rtol=2e-5, atol=2e-6)
+
+    def test_ragged_tile_count(self, models, batch):
+        """Tile counts that don't divide the mesh get padded + sliced back."""
+        G, _ = models
+        state = make_state(models)
+        inpainter = BatchedInpainter(
+            G, state.generator_variables(), mesh=make_mesh(8), chunk=8
+        )
+        out = inpainter(batch["image"][:5], batch["mask"][:5])
+        assert out.shape == (5, 128, 128, 1)
+
+    def test_pad_to_multiple(self):
+        arrs = {"a": np.arange(10, dtype=np.float32).reshape(10, 1)}
+        padded, pad = pad_to_multiple(arrs, 8)
+        assert pad == 6 and padded["a"].shape == (16, 1)
+        assert (padded["a"][10:] == padded["a"][9]).all()
+        same, pad0 = pad_to_multiple(arrs, 5)
+        assert pad0 == 0 and same["a"] is arrs["a"]

@@ -1,0 +1,284 @@
+"""Fused train-step parity vs a reference-semantics torch training step.
+
+Builds the torch step exactly as the reference loop does
+(mvp_gan/src/train.py:177-219): G forward -> InpaintingLoss + BCE(D(gen),1)
+-> Adam step on G; then D BCE on real/detached-fake -> Adam step on D.
+The torch InpaintingLoss is re-stated inline (perceptual off — no
+torchvision in this env; losses.py:58-127,403-416) and weights are
+copied both ways through torch_compat. One optimizer step must match
+to fp32 roundoff.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from terra_gan_tpu.losses import InpaintingLossConfig, inpainting_loss
+from terra_gan_tpu.models import Discriminator, PConvUNet
+from terra_gan_tpu.training.state import GANTrainState, adam
+from terra_gan_tpu.training.step import (
+    bce_with_logits,
+    make_eval_step,
+    make_train_step,
+)
+from terra_gan_tpu.utils.torch_compat import (
+    torch_state_to_discriminator_vars,
+    torch_state_to_generator_vars,
+)
+
+from ref_loader import load_reference_models, reference_available
+
+requires_ref = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted"
+)
+
+LOSS_CFG = InpaintingLossConfig(
+    perceptual_weight=0.0, tv_weight=0.1, boundary_weight=0.5
+)
+
+
+def torch_criterion(pred, target, mask):
+    """InpaintingLoss with perceptual off (losses.py:58-127,403-416)."""
+    total = F.l1_loss(pred, target)
+    # TV on holes
+    x = pred * (1 - mask)
+    b, h, w = x.size(0), x.size(2), x.size(3)
+    h_tv = torch.pow(x[:, :, 1:, :] - x[:, :, : h - 1, :], 2).sum()
+    w_tv = torch.pow(x[:, :, :, 1:] - x[:, :, :, : w - 1], 2).sum()
+    tv = 2 * (h_tv / x[:, :, 1:, :].numel() + w_tv / x[:, :, :, 1:].numel()) / b
+    total = total + 0.1 * tv
+    # boundary
+    dil = F.max_pool2d(mask, 3, 1, 1)
+    ero = 1 - F.max_pool2d(1 - mask, 3, 1, 1)
+    boundary = torch.clamp(dil - ero, 0, 1)
+    if boundary.sum() >= 1.0:
+        bd = (torch.abs(pred - target) * boundary).sum() / (boundary.sum() + 1e-6)
+        total = total + 0.5 * bd
+    return total
+
+
+def torch_train_step(G, D, optG, optD, real, mask):
+    """One reference-loop step (train.py:177-219)."""
+    G.train(), D.train()
+    optG.zero_grad()
+    gen = G(real * mask, mask)
+    g_loss = torch_criterion(gen, real, mask)
+    fake_validity = D(gen)
+    g_adv = F.binary_cross_entropy_with_logits(
+        fake_validity, torch.ones_like(fake_validity)
+    )
+    (g_loss + g_adv).backward()
+    optG.step()
+
+    optD.zero_grad()
+    real_validity = D(real)
+    fake_validity2 = D(gen.detach())
+    real_loss = F.binary_cross_entropy_with_logits(
+        real_validity, torch.ones_like(real_validity)
+    )
+    fake_loss = F.binary_cross_entropy_with_logits(
+        fake_validity2, torch.zeros_like(fake_validity2)
+    )
+    d_loss = 0.5 * (real_loss + fake_loss)
+    d_loss.backward()
+    optD.step()
+    return dict(
+        g_loss=float((g_loss + g_adv).item()),
+        d_loss=float(d_loss.item()),
+        real_loss=float(real_loss.item()),
+        fake_loss=float(fake_loss.item()),
+    )
+
+
+def to_nchw(x):
+    return torch.from_numpy(np.transpose(np.asarray(x), (0, 3, 1, 2)))
+
+
+def tree_max_abs_diff(a, b):
+    diffs = jax.tree.map(
+        lambda x, y: float(jnp.max(jnp.abs(x - jnp.asarray(y)))), a, b
+    )
+    return max(jax.tree.leaves(diffs))
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(21)
+    real = rng.random((2, 128, 128, 1), dtype=np.float32)
+    mask = (rng.random((2, 128, 128, 1)) > 0.3).astype(np.float32)
+    mask[:, 30:70, 20:60, :] = 0.0
+    return real, mask
+
+
+class TestBCE:
+    def test_matches_torch(self):
+        rng = np.random.default_rng(0)
+        logits = rng.standard_normal((3, 7, 7, 1)).astype(np.float32) * 5
+        for target in (0.0, 1.0):
+            want = F.binary_cross_entropy_with_logits(
+                torch.from_numpy(logits),
+                torch.full_like(torch.from_numpy(logits), target),
+            ).item()
+            got = float(bce_with_logits(jnp.asarray(logits), target))
+            assert abs(got - want) < 1e-6
+
+
+@requires_ref
+class TestTrainStepParity:
+    def test_one_step(self, batch):
+        real_np, mask_np = batch
+        ref = load_reference_models()
+        torch.manual_seed(0)
+        G, D = ref.generator.PConvUNet(), ref.discriminator.Discriminator()
+        optG = torch.optim.Adam(G.parameters(), lr=2e-4)
+        optD = torch.optim.Adam(D.parameters(), lr=2e-4)
+
+        gvars = torch_state_to_generator_vars(G.state_dict())
+        dvars = torch_state_to_discriminator_vars(D.state_dict())
+        jG, jD = PConvUNet(), Discriminator()
+        state = GANTrainState.create(
+            jG, jD, jax.random.PRNGKey(0),
+            sample_shape=(2, 128, 128, 1),
+            g_variables=gvars, d_variables=dvars,
+        )
+        step = make_train_step(jG, jD, adam(), adam(), LOSS_CFG, donate=False)
+        jbatch = {"image": jnp.asarray(real_np), "mask": jnp.asarray(mask_np)}
+        new_state, metrics = step(state, jbatch, None)
+
+        tmetrics = torch_train_step(
+            G, D, optG, optD, to_nchw(real_np), to_nchw(mask_np)
+        )
+
+        for k in ("g_loss", "d_loss", "real_loss", "fake_loss"):
+            assert abs(float(metrics[k]) - tmetrics[k]) < 2e-4, (
+                k, float(metrics[k]), tmetrics[k])
+
+        # Updated parameters: Adam's first step is ~±lr*sign(grad) with
+        # eps=1e-8, so components whose gradient sits near fp32 roundoff
+        # get updates anywhere in [-lr, lr] — per-element comparison is
+        # ill-conditioned. We bound the worst case here (2*lr = a full
+        # sign flip) and gate true gradient parity in
+        # test_gradient_parity below; Adam semantics are gated in
+        # TestAdamParity.
+        lr = 2e-4
+        for new_params, want in (
+            (new_state.g_params,
+             torch_state_to_generator_vars(G.state_dict())["params"]),
+            (new_state.d_params,
+             torch_state_to_discriminator_vars(D.state_dict())["params"]),
+        ):
+            diffs = jax.tree.leaves(jax.tree.map(
+                lambda x, y: np.abs(np.asarray(x) - np.asarray(y)).ravel(),
+                new_params, want,
+            ))
+            assert np.concatenate(diffs).max() < 2.2 * lr
+
+        want_g = torch_state_to_generator_vars(G.state_dict())
+        assert tree_max_abs_diff(new_state.g_stats, want_g["batch_stats"]) < 1e-4
+        want_d = torch_state_to_discriminator_vars(D.state_dict())
+        # D BN running stats: updated 3x per step in reference order
+        assert tree_max_abs_diff(new_state.d_stats, want_d["batch_stats"]) < 1e-3
+
+
+@requires_ref
+class TestGradientParity:
+    def test_generator_grads_match_torch(self, batch):
+        """jax.grad of the G objective vs torch autograd, per block."""
+        real_np, mask_np = batch
+        ref = load_reference_models()
+        torch.manual_seed(0)
+        G, D = ref.generator.PConvUNet(), ref.discriminator.Discriminator()
+        gvars = torch_state_to_generator_vars(G.state_dict())
+        dvars = torch_state_to_discriminator_vars(D.state_dict())
+
+        G.train(), D.train()
+        treal, tmask = to_nchw(real_np), to_nchw(mask_np)
+        gen = G(treal * tmask, tmask)
+        fv = D(gen)
+        loss = torch_criterion(gen, treal, tmask) + (
+            F.binary_cross_entropy_with_logits(fv, torch.ones_like(fv))
+        )
+        loss.backward()
+        tgrads = {n: p.grad for n, p in G.named_parameters()
+                  if p.grad is not None}
+
+        jG, jD = PConvUNet(), Discriminator()
+
+        def loss_fn(g_params):
+            gen, _ = jG.apply(
+                {"params": g_params, "batch_stats": gvars["batch_stats"]},
+                jnp.asarray(real_np * mask_np), jnp.asarray(mask_np),
+                True, mutable=["batch_stats"],
+            )
+            l, _ = inpainting_loss(
+                gen, jnp.asarray(real_np), jnp.asarray(mask_np), None, LOSS_CFG
+            )
+            logits, _ = jD.apply(
+                dvars, gen, True, mutable=["batch_stats"]
+            )
+            return l + bce_with_logits(logits, 1.0)
+
+        jgrads = jax.jit(jax.grad(loss_fn))(gvars["params"])
+        from terra_gan_tpu.utils.torch_compat import _hwio_to_oihw
+
+        for blk in [f"enc{i}" for i in range(1, 8)] + [
+            f"dec{i}" for i in range(7, 0, -1)
+        ]:
+            jg = _hwio_to_oihw(np.asarray(jgrads[blk]["kernel"]))
+            tg = tgrads[f"{blk}.input_conv.weight"].numpy()
+            rel = np.linalg.norm(jg - tg) / (np.linalg.norm(tg) + 1e-12)
+            assert rel < 1e-2, (blk, rel)
+        jg = _hwio_to_oihw(np.asarray(jgrads["final_kernel"]))
+        tg = tgrads["final.weight"].numpy()
+        assert np.linalg.norm(jg - tg) / np.linalg.norm(tg) < 1e-3
+
+
+class TestAdamParity:
+    def test_matches_torch_adam_multi_step(self):
+        """optax.adam == torch.optim.Adam over several steps on fixed grads."""
+        rng = np.random.default_rng(9)
+        p0 = rng.standard_normal((64, 32)).astype(np.float32)
+        grads = [rng.standard_normal((64, 32)).astype(np.float32) * s
+                 for s in (1.0, 0.3, 2.0)]
+
+        tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+        topt = torch.optim.Adam([tp], lr=2e-4)
+        for g in grads:
+            topt.zero_grad()
+            tp.grad = torch.from_numpy(g.copy())
+            topt.step()
+
+        tx = adam(2e-4)
+        jp, opt_state = jnp.asarray(p0), tx.init(jnp.asarray(p0))
+        for g in grads:
+            upd, opt_state = tx.update(jnp.asarray(g), opt_state, jp)
+            jp = jp + upd
+
+        np.testing.assert_allclose(
+            np.asarray(jp), tp.detach().numpy(), rtol=1e-6, atol=1e-7
+        )
+
+
+class TestEvalStep:
+    def test_faithful_d_mode_mutates_stats(self, batch):
+        real_np, mask_np = batch
+        jG, jD = PConvUNet(base_width=8), Discriminator(base_width=8)
+        state = GANTrainState.create(
+            jG, jD, jax.random.PRNGKey(1), sample_shape=(2, 128, 128, 1)
+        )
+        ev = make_eval_step(jG, jD, LOSS_CFG, torch_faithful_d_mode=True)
+        jbatch = {"image": jnp.asarray(real_np), "mask": jnp.asarray(mask_np)}
+        new_state, gen, metrics = ev(state, jbatch, None)
+        assert gen.shape == real_np.shape
+        assert np.isfinite(float(metrics["val_g_loss"]))
+        # reference quirk: D stats advance during validation
+        assert tree_max_abs_diff(new_state.d_stats, state.d_stats) > 0
+
+        ev_pure = make_eval_step(jG, jD, LOSS_CFG, torch_faithful_d_mode=False)
+        new_state2, _, _ = ev_pure(state, jbatch, None)
+        assert tree_max_abs_diff(new_state2.d_stats, state.d_stats) == 0
