@@ -1,0 +1,189 @@
+"""Datasets + batched host->device pipeline.
+
+Reference contracts:
+  * InpaintingDataset (mvp_gan/src/utils/dataset.py:14-43): paired
+    *sorted* image/mask dirs; grayscale; both resized to 512x512
+    bilinear (train.py:67-70 applies the same transform to the mask);
+    mask binarized at >0 AFTER the resize; values scaled to [0,1].
+  * DirectMatchDataset (direct_match_dataset.py:31-85): triplets
+    (image, system mask, human mask) from matched-pair dicts; image
+    bilinear / masks NEAREST to 512; binarize at >0.5; unreadable
+    items become zero tensors with tile_name "error".
+
+TPU-first deltas: NHWC numpy batches (not per-sample tensors); a
+threaded prefetch loader decodes/resizes the next batch on host CPU
+while the device computes the current one (the reference uses
+DataLoader num_workers=0 — fully serial, train.py:79).
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+logger = logging.getLogger(__name__)
+
+TARGET = 512
+
+
+def _load_grayscale(path: str | Path, size: int, resample) -> np.ndarray:
+    img = Image.open(path).convert("L")
+    if img.size != (size, size):
+        img = img.resize((size, size), resample)
+    return np.asarray(img, np.float32)[..., None] / 255.0
+
+
+class InpaintingDataset:
+    """Paired image/mask directories, index-aligned by sorted filename."""
+
+    def __init__(
+        self,
+        img_dir: str | Path,
+        mask_dir: str | Path,
+        size: int = TARGET,
+    ):
+        self.img_dir, self.mask_dir = Path(img_dir), Path(mask_dir)
+        self.size = size
+        self.img_files = sorted(
+            p for p in self.img_dir.iterdir() if p.is_file()
+        )
+        self.mask_files = sorted(
+            p for p in self.mask_dir.iterdir() if p.is_file()
+        )
+        if len(self.img_files) != len(self.mask_files):
+            raise ValueError(
+                f"image/mask count mismatch: {len(self.img_files)} vs "
+                f"{len(self.mask_files)}"
+            )
+
+    def __len__(self) -> int:
+        return len(self.img_files)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        img = _load_grayscale(self.img_files[idx], self.size, Image.BILINEAR)
+        # reference resizes the mask with the same bilinear transform,
+        # then binarizes at >0 (dataset.py:37)
+        mask = _load_grayscale(self.mask_files[idx], self.size, Image.BILINEAR)
+        mask = (mask > 0).astype(np.float32)
+        return {"image": img, "mask": mask}
+
+
+class DirectMatchDataset:
+    """Triplets for human-guided fine-tuning from matched-pair dicts."""
+
+    def __init__(self, matched_pairs: Sequence[Dict], size: int = TARGET):
+        self.pairs = list(matched_pairs)
+        self.size = size
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def __getitem__(self, idx: int) -> Dict:
+        try:
+            pair = self.pairs[idx]
+            image = _load_grayscale(pair["image_path"], self.size, Image.BILINEAR)
+            system = _load_grayscale(
+                pair["system_mask_path"], self.size, Image.NEAREST
+            )
+            human = _load_grayscale(
+                pair["human_mask_path"], self.size, Image.NEAREST
+            )
+            system = (system > 0.5).astype(np.float32)
+            human = (human > 0.5).astype(np.float32)
+            if human.sum() == 0:
+                logger.warning(
+                    "human mask for tile %s is empty", pair.get("tile_name")
+                )
+            return {
+                "image": image,
+                "mask": system,
+                "human_mask": human,
+                "tile_name": pair.get("tile_name", ""),
+            }
+        except Exception as e:
+            logger.error("failed to load item %d: %s", idx, e)
+            zero = np.zeros((self.size, self.size, 1), np.float32)
+            return {
+                "image": zero, "mask": zero, "human_mask": zero,
+                "tile_name": "error",
+            }
+
+
+class BatchLoader:
+    """Shuffling batcher with background prefetch.
+
+    Yields dicts of stacked NHWC float32 arrays. Non-array fields
+    (tile_name) are collected into lists under the same key. The last
+    partial batch is dropped when drop_last (static shapes under jit).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _order(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        return idx
+
+    def _collate(self, items: List[Dict]) -> Dict:
+        out: Dict = {}
+        for key in items[0]:
+            vals = [it[key] for it in items]
+            if isinstance(vals[0], np.ndarray):
+                out[key] = np.stack(vals, axis=0)
+            else:
+                out[key] = vals
+        return out
+
+    def __iter__(self) -> Iterator[Dict]:
+        order = self._order()
+        self._epoch += 1
+        n = len(order)
+        stops = range(0, n - self.batch_size + 1, self.batch_size) if (
+            self.drop_last
+        ) else range(0, n, self.batch_size)
+        batches = [order[s : s + self.batch_size] for s in stops]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def producer():
+            try:
+                for b in batches:
+                    q.put(self._collate([self.dataset[int(i)] for i in b]))
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            yield item
+        t.join()
