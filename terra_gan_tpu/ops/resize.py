@@ -60,17 +60,33 @@ def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def pad_to_match(x: jnp.ndarray, target_h: int, target_w: int) -> jnp.ndarray:
-    """Zero-pad NHWC tensor spatially to (target_h, target_w).
+    """Zero-pad (or crop) NHWC tensor spatially to (target_h, target_w).
 
     Matches the reference's `_pad_to_match` split: left/top gets diff//2,
-    right/bottom the remainder (generator.py:78-84). Shapes are static
-    under jit, so this is trace-time arithmetic.
+    right/bottom the remainder (generator.py:78-84). torch F.pad crops
+    when the diff is negative (floor division on the negative side), which
+    happens for inputs smaller than 128; reproduced exactly. Shapes are
+    static under jit, so this is trace-time arithmetic.
     """
     dh = target_h - x.shape[1]
     dw = target_w - x.shape[2]
     if dh == 0 and dw == 0:
         return x
-    return jnp.pad(
-        x,
-        ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)),
-    )
+    pads = [(0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)]
+    if all(p0 >= 0 and p1 >= 0 for p0, p1 in pads):
+        return jnp.pad(x, pads)
+    # torch F.pad with negative entries crops from the corresponding edge
+    h0 = max(0, -(dh // 2))
+    h1 = x.shape[1] - max(0, -(dh - dh // 2))
+    w0 = max(0, -(dw // 2))
+    w1 = x.shape[2] - max(0, -(dw - dw // 2))
+    x = x[:, h0:h1, w0:w1, :]
+    pos = [
+        (0, 0),
+        (max(0, dh // 2), max(0, dh - dh // 2)),
+        (max(0, dw // 2), max(0, dw - dw // 2)),
+        (0, 0),
+    ]
+    if any(p != (0, 0) for p in pos):
+        x = jnp.pad(x, pos)
+    return x

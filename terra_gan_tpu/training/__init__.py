@@ -1,12 +1,29 @@
-"""Training runtime: fused GAN steps, state, loops (SURVEY §2.1)."""
+"""Training runtime: fused GAN steps, state, loops, checkpoints (SURVEY §2.1)."""
 
+from .checkpoint import (
+    export_pth,
+    import_pth,
+    resolve_checkpoint,
+    restore_native,
+    save_native,
+)
+from .human_guided import HumanGuidedTrainer
+from .loop import loss_config_for_initial_training, train
 from .state import GANTrainState, adam
 from .step import bce_with_logits, make_eval_step, make_train_step
 
 __all__ = [
     "GANTrainState",
+    "HumanGuidedTrainer",
     "adam",
     "bce_with_logits",
+    "export_pth",
+    "import_pth",
+    "loss_config_for_initial_training",
     "make_eval_step",
     "make_train_step",
+    "resolve_checkpoint",
+    "restore_native",
+    "save_native",
+    "train",
 ]

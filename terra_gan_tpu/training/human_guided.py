@@ -1,0 +1,182 @@
+"""Human-guided fine-tuning (reference: mvp_gan/src/training/
+human_guided_trainer.py:44-262).
+
+Generator-only fine-tune (no discriminator) on matched human
+annotations with HumanGuidedLoss, Adam at
+training.modes.human_guided.learning_rate. Per-epoch checkpoints
+generator_epoch_{e} + best_model on lowest epoch loss; NaN/Inf batch
+losses excluded from the epoch average (the reference's guard at
+human_guided_trainer.py:146-148); same metric names (epoch.loss,
+epoch.time, epoch.success_rate).
+
+The whole G step (forward + HumanGuidedLoss incl. VGG + Adam update)
+is one jitted program; human masks ride the batch dict.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..data.dataset import BatchLoader
+from ..losses import (
+    HumanGuidedLossConfig,
+    InpaintingLossConfig,
+    human_guided_loss,
+)
+from ..models.vgg import VGGParams
+from ..utils.torch_compat import generator_vars_to_torch_state, save_pth
+from .state import adam
+
+logger = logging.getLogger(__name__)
+
+
+def hg_loss_config(config: Config) -> HumanGuidedLossConfig:
+    """HumanGuidedLoss DOES read the config boundary weight
+    (losses.py:139), unlike initial training."""
+    lw = config.training.loss_weights
+    return HumanGuidedLossConfig(
+        base=InpaintingLossConfig(
+            perceptual_weight=lw.perceptual,
+            tv_weight=lw.tv,
+            boundary_weight=config.training.loss_weights.boundary
+            if not config.training.faithful_boundary_default
+            else (lw.boundary if lw.boundary else 0.5),
+        ),
+        base_loss_weight=config.training.human_guided.base_loss_weight,
+        human_feedback_weight=config.training.human_guided.human_feedback_weight,
+    )
+
+
+class HumanGuidedTrainer:
+    def __init__(self, config: Config, tracker=None):
+        self.config = config
+        self.tracker = tracker
+        self.loss_config = hg_loss_config(config)
+
+    def _make_step(self, generator, tx):
+        loss_cfg = self.loss_config
+
+        def loss_fn(g_params, g_stats, batch, vgg_params):
+            real, mask = batch["image"], batch["mask"]
+            gen, updates = generator.apply(
+                {"params": g_params, "batch_stats": g_stats},
+                real * mask, mask, True, mutable=["batch_stats"],
+            )
+            total, comps = human_guided_loss(
+                gen, real, mask, batch.get("human_mask"), vgg_params, loss_cfg
+            )
+            return total, (updates["batch_stats"], comps)
+
+        def step(g_params, g_stats, opt_state, batch, vgg_params):
+            (loss, (new_stats, comps)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(g_params, g_stats, batch, vgg_params)
+            upd, new_opt = tx.update(grads, opt_state, g_params)
+            new_params = optax.apply_updates(g_params, upd)
+            return new_params, new_stats, new_opt, loss, comps
+
+        return jax.jit(step, donate_argnums=(0, 2))
+
+    def train(
+        self,
+        generator,
+        variables: Dict[str, Any],
+        dataset,
+        num_epochs: Optional[int] = None,
+        checkpoint_dir: str | Path = "checkpoints_hg",
+        vgg_params: Optional[VGGParams] = None,
+    ) -> Dict[str, Any]:
+        hg = self.config.training.human_guided
+        num_epochs = num_epochs or hg.epochs
+        checkpoint_dir = Path(checkpoint_dir)
+        checkpoint_dir.mkdir(parents=True, exist_ok=True)
+
+        tx = adam(hg.learning_rate)
+        g_params = jax.tree.map(jnp.asarray, variables["params"])
+        g_stats = jax.tree.map(
+            jnp.asarray, variables.get("batch_stats", {})
+        )
+        opt_state = tx.init(g_params)
+        step_fn = self._make_step(generator, tx)
+
+        loader = BatchLoader(
+            dataset, batch_size=hg.batch_size, shuffle=True,
+            drop_last=len(dataset) > hg.batch_size,
+        )
+        best_loss = float("inf")
+        t0 = time.time()
+        history = []
+
+        for epoch in range(num_epochs):
+            t_epoch = time.time()
+            epoch_loss, success, batches = 0.0, 0, 0
+            for batch_idx, batch in enumerate(loader):
+                dev = {
+                    k: jnp.asarray(v)
+                    for k, v in batch.items()
+                    if isinstance(v, np.ndarray)
+                }
+                g_params, g_stats, opt_state, loss, comps = step_fn(
+                    g_params, g_stats, opt_state, dev, vgg_params
+                )
+                batches += 1
+                lv = float(loss)
+                if np.isfinite(lv):
+                    epoch_loss += lv
+                    success += 1
+                if self.tracker is not None and batch_idx % 10 == 0:
+                    self.tracker.log_training_batch(
+                        batch_metrics={"loss": lv},
+                        step=epoch * len(loader) + batch_idx,
+                    )
+
+            avg = epoch_loss / max(1, success) if epoch_loss > 0 else 0.0
+            epoch_time = time.time() - t_epoch
+            history.append(avg)
+            if self.tracker is not None:
+                self.tracker.log_metrics(
+                    {
+                        "epoch.loss": avg,
+                        "epoch.time": epoch_time,
+                        "epoch.success_rate": success / max(1, batches),
+                    },
+                    step=epoch,
+                )
+
+            # per-epoch + best checkpoints (human_guided_trainer.py:198-208)
+            ckpt = {
+                "epoch": epoch,
+                "model_state_dict": generator_vars_to_torch_state(
+                    {"params": jax.tree.map(np.asarray, g_params),
+                     "batch_stats": jax.tree.map(np.asarray, g_stats)}
+                ),
+                "loss": avg,
+                "config": getattr(self.config, "raw", {}),
+            }
+            try:
+                save_pth(checkpoint_dir / f"generator_epoch_{epoch}.pth", ckpt)
+                if 0.0 < avg < best_loss:
+                    best_loss = avg
+                    save_pth(checkpoint_dir / "best_model.pth", ckpt)
+                    logger.info("new best HG model: loss=%.6f", best_loss)
+            except Exception as e:
+                logger.error("HG checkpoint save failed: %s", e)
+            logger.info(
+                "HG epoch %d: loss=%.6f time=%.2fs", epoch, avg, epoch_time
+            )
+
+        return {
+            "best_loss": best_loss if np.isfinite(best_loss) else None,
+            "total_time": time.time() - t0,
+            "epoch_losses": history,
+            "variables": {"params": g_params, "batch_stats": g_stats},
+        }

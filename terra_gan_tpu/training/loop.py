@@ -1,0 +1,268 @@
+"""Training loop (reference: mvp_gan/src/train.py:23-453).
+
+Faithful control flow — epochs over a shuffled loader, per-epoch
+validation, best-checkpoint selection on val g-loss (train g-loss when
+no val set), periodic epoch checkpoints, the reference's metric
+namespace — but with the whole optimizer step as one jitted XLA
+program (see step.py), device-sharded batches over a mesh, and
+metrics fetched once per log interval instead of every batch (the
+reference's .item() calls force a device sync every batch —
+SURVEY §7.3 hard part 6).
+
+Loss quirk preserved (train.py:110-114): initial training builds its
+criterion without a boundary weight, so boundary runs at the default
+0.5 regardless of config. TrainingConfig.faithful_boundary_default
+controls this.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, TrainingConfig
+from ..data.dataset import BatchLoader, InpaintingDataset
+from ..losses import InpaintingLossConfig
+from ..models.vgg import VGGParams
+from .checkpoint import export_pth, save_native
+from .state import GANTrainState, adam
+from .step import make_eval_step, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+def loss_config_for_initial_training(cfg: TrainingConfig) -> InpaintingLossConfig:
+    return InpaintingLossConfig(
+        perceptual_weight=cfg.loss_weights.perceptual,
+        tv_weight=cfg.loss_weights.tv,
+        boundary_weight=cfg.effective_boundary_weight(),
+    )
+
+
+def _to_device(batch: Dict[str, np.ndarray], mesh=None):
+    arrays = {
+        k: v for k, v in batch.items() if isinstance(v, np.ndarray)
+    }
+    if mesh is not None:
+        from ..parallel.mesh import pad_to_multiple, shard_batch
+
+        n_dev = mesh.devices.size
+        arrays, _ = pad_to_multiple(arrays, n_dev)
+        return shard_batch(arrays, mesh)
+    return {k: jnp.asarray(v) for k, v in arrays.items()}
+
+
+def train(
+    img_dir: str | Path,
+    mask_dir: str | Path,
+    generator,
+    discriminator,
+    state: Optional[GANTrainState] = None,
+    checkpoint_path: Optional[str | Path] = None,
+    config: Optional[Config] = None,
+    tracker=None,
+    val_img_dir: Optional[str | Path] = None,
+    val_mask_dir: Optional[str | Path] = None,
+    vgg_params: Optional[VGGParams] = None,
+    mesh=None,
+    image_size: int = 512,
+    seed: int = 0,
+) -> Dict[str, Any]:
+    """Adversarial training over one grid's train split.
+
+    Returns {'best_train_loss', 'best_val_loss', 'total_time',
+    'final_epoch', 'state'} (reference contract + the final state).
+    """
+    config = config or Config()
+    tcfg = config.training
+    loss_cfg = loss_config_for_initial_training(tcfg)
+    batch_size = tcfg.initial.batch_size
+    lr = tcfg.initial.learning_rate
+
+    dataset = InpaintingDataset(img_dir, mask_dir, size=image_size)
+    loader = BatchLoader(
+        dataset, batch_size=batch_size, shuffle=True, seed=seed,
+        drop_last=len(dataset) > batch_size,
+    )
+    val_loader = None
+    if val_img_dir and val_mask_dir:
+        try:
+            val_ds = InpaintingDataset(val_img_dir, val_mask_dir, size=image_size)
+            if len(val_ds):
+                val_loader = BatchLoader(
+                    val_ds, batch_size=batch_size, shuffle=False
+                )
+        except Exception as e:
+            logger.warning("validation dataset unavailable: %s", e)
+
+    if state is None:
+        state = GANTrainState.create(
+            generator, discriminator, jax.random.PRNGKey(seed),
+            sample_shape=(1, image_size, image_size, 1),
+            g_tx=adam(lr), d_tx=adam(lr),
+        )
+
+    raw_step = make_train_step(
+        generator, discriminator, adam(lr), adam(lr), loss_cfg,
+        jit_compile=mesh is None,
+    )
+    if mesh is not None:
+        from ..parallel.mesh import shard_train_step
+
+        step_fn = shard_train_step(raw_step, mesh)
+    else:
+        step_fn = raw_step
+    eval_fn = make_eval_step(generator, discriminator, loss_cfg)
+
+    best_val = float("inf")
+    best_train = float("inf")
+    t_start = time.time()
+    epochs = tcfg.initial.epochs
+    log_interval = tcfg.initial.log_interval
+    ckpt_interval = tcfg.initial.checkpoint_interval
+    checkpoint_path = Path(checkpoint_path) if checkpoint_path else None
+    epoch = -1
+    val_g = val_d = None
+
+    for epoch in range(epochs):
+        t_epoch = time.time()
+        sums: Dict[str, float] = {}
+        n_batches = 0
+        pending = None  # (metrics, step_idx) kept on device
+
+        for batch_idx, batch in enumerate(loader):
+            dev_batch = _to_device(batch, mesh)
+            state, metrics = step_fn(state, dev_batch, vgg_params)
+            n_batches += 1
+            # accumulate on device; fetch lazily
+            for k in ("g_loss", "d_loss", "real_loss", "fake_loss"):
+                sums[k] = sums.get(k, 0.0) + metrics[k]
+            if loss_cfg.boundary_weight > 0 and "g_boundary" in metrics:
+                sums["boundary_loss"] = (
+                    sums.get("boundary_loss", 0.0) + metrics["g_boundary"]
+                )
+            if tracker is not None and batch_idx % log_interval == 0:
+                step_no = epoch * len(loader) + batch_idx
+                host = {k: float(v) for k, v in metrics.items()}
+                tracker.log_training_batch(
+                    batch_metrics=host, step=step_no
+                )
+
+        if n_batches == 0:
+            logger.warning("no batches in epoch %d", epoch)
+            continue
+        epoch_metrics = {k: float(v) / n_batches for k, v in sums.items()}
+        epoch_metrics["epoch_time"] = time.time() - t_epoch
+
+        # ---- validation (train.py:277-303) -----------------------------
+        val_g = val_d = None
+        if val_loader is not None:
+            vg = vd = 0.0
+            nv = 0
+            for vb in val_loader:
+                state, _, vm = eval_fn(state, _to_device(vb), vgg_params)
+                vg += float(vm["val_g_loss"])
+                vd += float(vm["val_d_loss"])
+                nv += 1
+            if nv:
+                val_g, val_d = vg / nv, vd / nv
+                if tracker is not None:
+                    tracker.log_metrics(
+                        {"validation.g_loss": val_g, "validation.d_loss": val_d},
+                        step=epoch,
+                    )
+
+        # ---- best-model checkpointing (train.py:314-397) ---------------
+        improved = False
+        if val_g is not None:
+            if val_g < best_val:
+                best_val, improved = val_g, True
+        elif epoch_metrics["g_loss"] < best_train:
+            best_train, improved = epoch_metrics["g_loss"], True
+        if val_g is None:
+            best_train = min(best_train, epoch_metrics["g_loss"])
+
+        if improved and checkpoint_path is not None:
+            extra = {
+                "epoch": epoch,
+                "g_loss": epoch_metrics["g_loss"],
+                "d_loss": epoch_metrics["d_loss"],
+            }
+            if val_g is not None:
+                extra.update({"val_g_loss": val_g, "val_d_loss": val_d})
+            _save(checkpoint_path, state, epoch, lr, config, extra)
+            if tracker is not None:
+                tracker.log_model(
+                    {"params": state.g_params, "batch_stats": state.g_stats},
+                    "best_model_validation" if val_g is not None
+                    else "best_model_train",
+                    metrics={**extra, "best_val_loss": best_val}
+                    if val_g is not None else extra,
+                )
+
+        # periodic checkpoint every ckpt_interval epochs (train.py:400-405)
+        if checkpoint_path is not None and epoch % ckpt_interval == 0:
+            _save(
+                checkpoint_path.parent / f"checkpoint_epoch_{epoch}",
+                state, epoch, lr, config, {},
+            )
+
+        if tracker is not None:
+            tracker.log_metrics(
+                {
+                    "epoch.g_loss": epoch_metrics["g_loss"],
+                    "epoch.d_loss": epoch_metrics["d_loss"],
+                    "epoch.real_loss": epoch_metrics["real_loss"],
+                    "epoch.fake_loss": epoch_metrics["fake_loss"],
+                    "epoch.time": epoch_metrics["epoch_time"],
+                },
+                step=epoch,
+            )
+        msg = (
+            f"epoch {epoch}: g_loss={epoch_metrics['g_loss']:.4f} "
+            f"d_loss={epoch_metrics['d_loss']:.4f}"
+        )
+        if val_g is not None:
+            msg += f" val_g={val_g:.4f} val_d={val_d:.4f}"
+        logger.info("%s time=%.2fs", msg, epoch_metrics["epoch_time"])
+
+    total_time = time.time() - t_start
+    if tracker is not None:
+        final = {
+            "training.total_time": total_time,
+            "training.best_train_loss": best_train,
+        }
+        if val_loader is not None and val_g is not None:
+            final["training.best_val_loss"] = best_val
+            final["training.validation_improvement"] = best_val - val_g
+        tracker.log_metrics(final)
+
+    return {
+        "best_train_loss": best_train,
+        "best_val_loss": best_val if val_loader is not None else None,
+        "total_time": total_time,
+        "final_epoch": epoch,
+        "state": state,
+    }
+
+
+def _save(path: Path, state, epoch, lr, config, extra):
+    """Dual-format save: orbax native dir + reference-layout .pth."""
+    path = Path(path)
+    try:
+        if path.suffix == ".pth":
+            export_pth(
+                path, state, epoch=epoch, lr=lr,
+                config=getattr(config, "raw", {}), extra=extra,
+            )
+            save_native(path.with_suffix(".orbax"), state, extra)
+        else:
+            save_native(path, state, extra)
+    except Exception as e:
+        logger.error("checkpoint save failed for %s: %s", path, e)

@@ -166,9 +166,10 @@ def save_pth(path, obj: Any) -> None:
         if isinstance(o, (list, tuple)):
             return type(o)(entorch(v) for v in o)
         if isinstance(o, np.ndarray):
-            return torch.from_numpy(np.ascontiguousarray(o))
+            # copy: jax buffers are non-writable and from_numpy shares memory
+            return torch.from_numpy(np.array(o, copy=True))
         if hasattr(o, "dtype") and hasattr(o, "shape"):  # jax array
-            return torch.from_numpy(np.ascontiguousarray(np.asarray(o)))
+            return torch.from_numpy(np.array(np.asarray(o), copy=True))
         return o
 
     torch.save(entorch(obj), path)

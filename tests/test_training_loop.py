@@ -1,0 +1,312 @@
+"""Training loop, human-guided trainer, checkpoints, metrics, tracker."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+from terra_gan_tpu.config import Config
+from terra_gan_tpu.evaluation import (
+    MaskEvaluator,
+    boundary_quality,
+    image_quality_metrics,
+    psnr,
+    ssim,
+)
+from terra_gan_tpu.models import Discriminator, PConvUNet
+from terra_gan_tpu.tracking import ExperimentTracker
+from terra_gan_tpu.training import (
+    GANTrainState,
+    HumanGuidedTrainer,
+    export_pth,
+    import_pth,
+    resolve_checkpoint,
+    restore_native,
+    save_native,
+    train,
+)
+from terra_gan_tpu.data.dataset import DirectMatchDataset
+
+torch = pytest.importorskip("torch")
+
+
+def make_dirs(tmp_path, n=4, size=64):
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        (tmp_path / split / "images").mkdir(parents=True)
+        (tmp_path / split / "masks").mkdir(parents=True)
+        for i in range(n):
+            Image.fromarray(
+                rng.integers(0, 255, (size, size), dtype=np.uint8)
+            ).save(tmp_path / split / "images" / f"t{i}.png")
+            Image.fromarray(
+                (rng.random((size, size)) > 0.3).astype(np.uint8) * 255
+            ).save(tmp_path / split / "masks" / f"t{i}.png")
+
+
+def tiny_config(tmp_path, epochs=2) -> Config:
+    return Config.from_dict({
+        "training": {
+            "loss_weights": {"perceptual": 0.0, "tv": 0.1, "boundary": 0},
+            "modes": {
+                "initial": {"epochs": epochs, "batch_size": 2},
+                "human_guided": {
+                    "epochs": 2, "batch_size": 2, "learning_rate": 1e-4,
+                    "human_feedback_weight": 0.3, "base_loss_weight": 0.7,
+                },
+            },
+        },
+        "experiment_tracking": {
+            "enabled": True,
+            "tracking_uri": f"file:{tmp_path}/mlruns",
+        },
+    })
+
+
+class TestMetrics:
+    def test_psnr_ssim_basics(self):
+        rng = np.random.default_rng(1)
+        a = jnp.asarray(rng.random((1, 32, 32, 1), dtype=np.float32))
+        assert float(psnr(a, a)) == np.inf
+        assert abs(float(ssim(a, a)) - 1.0) < 1e-5
+        b = jnp.clip(a + 0.1, 0, 1)
+        assert float(psnr(a, b)) < 30.0
+        assert float(ssim(a, b)) < 1.0
+
+    def test_ssim_matches_torch_avgpool_formula(self):
+        import torch.nn.functional as F
+
+        rng = np.random.default_rng(2)
+        a = rng.random((1, 33, 37, 1), dtype=np.float32)
+        b = rng.random((1, 33, 37, 1), dtype=np.float32)
+
+        def t(x):
+            return torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+
+        k, c1, c2 = 11, 0.01 ** 2, 0.03 ** 2
+        mu1 = F.avg_pool2d(t(a), k, 1, k // 2)
+        mu2 = F.avg_pool2d(t(b), k, 1, k // 2)
+        s1 = F.avg_pool2d(t(a) * t(a), k, 1, k // 2) - mu1 * mu1
+        s2 = F.avg_pool2d(t(b) * t(b), k, 1, k // 2) - mu2 * mu2
+        s12 = F.avg_pool2d(t(a) * t(b), k, 1, k // 2) - mu1 * mu2
+        want = (
+            ((2 * mu1 * mu2 + c1) * (2 * s12 + c2))
+            / ((mu1 * mu1 + mu2 * mu2 + c1) * (s1 + s2 + c2))
+        ).mean().item()
+        got = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+        assert abs(got - want) < 1e-5
+
+    def test_boundary_quality_empty_band(self):
+        ones = jnp.ones((1, 16, 16, 1))
+        out = boundary_quality(ones, ones, ones)
+        assert all(float(v) == 0.0 for v in out.values())
+
+    def test_mask_evaluator(self):
+        ev = MaskEvaluator()
+        a = np.zeros((32, 32), np.uint8)
+        b = np.zeros((32, 32), np.uint8)
+        a[4:12, 4:12] = 1
+        b[8:16, 8:16] = 1
+        m = ev.calculate_metrics(a, b)
+        assert 0 < m.iou < 1
+        assert m.feature_count == 1
+        assert m.total_area == 64
+
+
+class TestTracker:
+    def test_filestore_roundtrip(self, tmp_path):
+        cfg = tiny_config(tmp_path)
+        tr = ExperimentTracker(cfg, flush_interval=0.0, force_file_store=True)
+        run_id = tr.start_run("test_run", params={"training": {"lr": 1}})
+        assert run_id is not None
+        tr.log_metrics({"epoch.g_loss": 1.5}, step=0)
+        tr.log_training_batch(batch_metrics={"g_loss": 2.0}, step=1)
+        tr.log_model({"params": {"w": jnp.ones((2, 2))}}, "best")
+        tr.end_run()
+
+        run_dir = Path(f"{tmp_path}/mlruns/dsm_inpainting") / run_id
+        lines = [
+            json.loads(l)
+            for l in (run_dir / "metrics.jsonl").read_text().splitlines()
+        ]
+        keys = set().union(*(l.keys() for l in lines))
+        assert "epoch.g_loss" in keys and "batch.g_loss" in keys
+        assert (run_dir / "params.json").exists()
+        assert (run_dir / "artifacts" / "best.npz").exists()
+
+    def test_disabled_is_noop(self):
+        cfg = Config.from_dict({"experiment_tracking": {"enabled": False}})
+        tr = ExperimentTracker(cfg)
+        assert tr.start_run("x") is None
+        tr.log_metrics({"a": 1.0})
+        tr.end_run()
+
+
+class TestCheckpoints:
+    @pytest.fixture(scope="class")
+    def state(self):
+        G, D = PConvUNet(base_width=8), Discriminator(base_width=8)
+        return GANTrainState.create(
+            G, D, jax.random.PRNGKey(0), sample_shape=(1, 64, 64, 1)
+        )
+
+    def test_native_roundtrip(self, tmp_path, state):
+        save_native(tmp_path / "ck", state, {"epoch": 3})
+        restored, extra = restore_native(tmp_path / "ck", state)
+        assert extra["epoch"] == 3
+        diff = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            state.g_params, restored.g_params,
+        )
+        assert max(jax.tree.leaves(diff)) == 0.0
+
+    def test_resolve_priority(self, tmp_path):
+        a = tmp_path / "a.pth"
+        b = tmp_path / "b.pth"
+        b.write_bytes(b"x")
+        assert resolve_checkpoint(None, None, None) is None
+        assert resolve_checkpoint(a, b, None) == b  # a missing -> master
+        a.write_bytes(b"x")
+        assert resolve_checkpoint(a, b, None) == a
+
+    def test_pth_roundtrip_with_optimizer(self, tmp_path):
+        """Full-width export must load into the reference torch model AND
+        restore Adam moments on reimport."""
+        from terra_gan_tpu.losses import InpaintingLossConfig
+        from terra_gan_tpu.training import adam, make_train_step
+        from terra_gan_tpu.training.checkpoint import _find_adam
+
+        G, D = PConvUNet(), Discriminator()
+        state = GANTrainState.create(
+            G, D, jax.random.PRNGKey(1), sample_shape=(1, 64, 64, 1)
+        )
+        # take one step so optimizer moments are nonzero
+        step = make_train_step(
+            G, D, adam(), adam(),
+            InpaintingLossConfig(perceptual_weight=0.0), donate=False,
+        )
+        rng = np.random.default_rng(0)
+        batch = {
+            "image": jnp.asarray(rng.random((1, 64, 64, 1), dtype=np.float32)),
+            "mask": jnp.asarray(
+                (rng.random((1, 64, 64, 1)) > 0.3).astype(np.float32)
+            ),
+        }
+        state, _ = step(state, batch, None)
+
+        p = tmp_path / "master_checkpoint.pth"
+        export_pth(p, state, epoch=7, config={"k": "v"})
+
+        # loads into the reference torch models
+        import sys
+        sys.path.insert(0, str(Path(__file__).parent))
+        from ref_loader import load_reference_models, reference_available
+
+        if reference_available():
+            ref = load_reference_models()
+            ckpt = torch.load(p, map_location="cpu", weights_only=False)
+            tG = ref.generator.PConvUNet()
+            tG.load_state_dict(ckpt["generator_state_dict"])
+            tD = ref.discriminator.Discriminator()
+            tD.load_state_dict(ckpt["discriminator_state_dict"])
+            optG = torch.optim.Adam(tG.parameters(), lr=2e-4)
+            optG.load_state_dict(ckpt["optimizer_G_state_dict"])
+            assert ckpt["epoch"] == 7
+
+        # reimport restores params AND Adam moments
+        template = GANTrainState.create(
+            PConvUNet(), Discriminator(), jax.random.PRNGKey(2),
+            sample_shape=(1, 64, 64, 1),
+        )
+        restored, extra = import_pth(p, template)
+        assert extra["epoch"] == 7
+        d = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(jnp.asarray(a) - b))),
+            restored.g_params, state.g_params,
+        )
+        assert max(jax.tree.leaves(d)) < 1e-6
+        got_adam = _find_adam(restored.g_opt)
+        want_adam = _find_adam(state.g_opt)
+        assert int(np.asarray(got_adam.count)) == 1
+        mu_diff = jax.tree.map(
+            lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+            got_adam.mu, want_adam.mu,
+        )
+        assert max(jax.tree.leaves(mu_diff)) < 1e-7
+
+
+class TestTrainLoop:
+    def test_two_epochs_end_to_end(self, tmp_path):
+        make_dirs(tmp_path)
+        cfg = tiny_config(tmp_path)
+        G, D = PConvUNet(base_width=8), Discriminator(base_width=8)
+        tracker = ExperimentTracker(
+            cfg, flush_interval=0.0, force_file_store=True
+        )
+        tracker.start_run("train_test")
+        result = train(
+            tmp_path / "train" / "images",
+            tmp_path / "train" / "masks",
+            G, D,
+            checkpoint_path=tmp_path / "master_checkpoint.pth",
+            config=cfg,
+            tracker=tracker,
+            val_img_dir=tmp_path / "val" / "images",
+            val_mask_dir=tmp_path / "val" / "masks",
+            image_size=64,
+        )
+        tracker.end_run()
+        assert result["final_epoch"] == 1
+        assert result["best_val_loss"] is not None
+        assert np.isfinite(result["best_val_loss"])
+        assert (tmp_path / "master_checkpoint.pth").exists()
+        assert (tmp_path / "checkpoint_epoch_0").exists()
+        assert int(result["state"].step) == 2 * 2  # 2 epochs x 2 batches
+
+
+class TestHumanGuided:
+    def test_fine_tune(self, tmp_path):
+        rng = np.random.default_rng(4)
+        pairs = []
+        for i in range(4):
+            img = tmp_path / f"img{i}.png"
+            smask = tmp_path / f"smask{i}.png"
+            hmask = tmp_path / f"hmask{i}.png"
+            Image.fromarray(
+                rng.integers(0, 255, (64, 64), dtype=np.uint8)
+            ).save(img)
+            Image.fromarray(
+                (rng.random((64, 64)) > 0.3).astype(np.uint8) * 255
+            ).save(smask)
+            Image.fromarray(
+                (rng.random((64, 64)) > 0.8).astype(np.uint8) * 255
+            ).save(hmask)
+            pairs.append({
+                "image_path": img, "system_mask_path": smask,
+                "human_mask_path": hmask, "tile_name": f"nj000{i}",
+            })
+        ds = DirectMatchDataset(pairs, size=64)
+        cfg = tiny_config(tmp_path)
+        G = PConvUNet(base_width=8)
+        variables = jax.jit(G.init, static_argnums=3)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 64, 1)), jnp.ones((1, 64, 64, 1)), False,
+        )
+        trainer = HumanGuidedTrainer(cfg)
+        result = trainer.train(
+            G, variables, ds, checkpoint_dir=tmp_path / "hg"
+        )
+        assert result["best_loss"] is not None and result["best_loss"] > 0
+        assert (tmp_path / "hg" / "generator_epoch_0.pth").exists()
+        assert (tmp_path / "hg" / "best_model.pth").exists()
+        # checkpoint loads into reference-format keys
+        ck = torch.load(
+            tmp_path / "hg" / "best_model.pth", map_location="cpu",
+            weights_only=False,
+        )
+        assert "model_state_dict" in ck
+        assert "enc1.input_conv.weight" in ck["model_state_dict"]
