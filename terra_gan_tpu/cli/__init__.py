@@ -1,0 +1,1 @@
+"""CLI drivers (SURVEY §2.3 L5)."""

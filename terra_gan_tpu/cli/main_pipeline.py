@@ -1,0 +1,441 @@
+"""Pipeline driver CLI (reference: main_pipeline.py).
+
+Same modes and flags:
+    python -m terra_gan_tpu.cli.main_pipeline
+        --mode {train,evaluate,human_guided_train}
+        [--input_model PATH] [--grid GRID] [--debug] [--config PATH]
+
+Behavior contracts preserved (with the TPU-native compute path):
+  * train (main_pipeline.py:165-443): iterate zips in input_zip_folder;
+    ONE shared "master" generator+discriminator across all parents;
+    model-load priority user -> master_checkpoint.pth ->
+    _BASELINE_MODEL/BASELINE_MODEL.pth -> fresh init; per-parent
+    ingest -> checkerboard splits -> train(); final master checkpoint
+    + timestamped copy + per-grid metrics JSON.
+  * evaluate (main_pipeline.py:446-556): load master generator; per
+    parent grid inpaint every test tile and colorize. The reference
+    loops tiles at batch 1 — here the whole split is one mesh-sharded
+    batch (inpaint_directory).
+  * human_guided_train (main_pipeline.py:559-790): fetch + match
+    annotations, DirectMatchDataset validation, HumanGuidedTrainer,
+    save master_model_human_guided_<ts>.pth, optional portal cleanup.
+  * env switches: EXPERIMENT_MODE suppresses interactive prompts
+    (main_pipeline.py:602), DOCKER_ENV rebases data paths
+    (main_pipeline.py:33-38).
+  * logging to console + logs/pipeline.log (main_pipeline.py:59-71).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+logger = logging.getLogger("terra_gan_tpu.pipeline")
+
+
+def setup_logging(debug: bool = False) -> None:
+    Path("logs").mkdir(exist_ok=True)
+    logging.basicConfig(
+        level=logging.DEBUG if debug else logging.INFO,
+        format="%(asctime)s - %(levelname)s - %(message)s",
+        handlers=[
+            logging.StreamHandler(),
+            logging.FileHandler("logs/pipeline.log"),
+        ],
+        force=True,
+    )
+    # third-party checkpoint/compiler libraries are very chatty at INFO
+    for noisy in ("orbax", "absl", "jax._src", "etils"):
+        logging.getLogger(noisy).setLevel(
+            logging.DEBUG if debug else logging.WARNING
+        )
+
+
+def experiment_mode() -> bool:
+    return os.environ.get("EXPERIMENT_MODE", "").lower() in ("1", "true", "yes")
+
+
+def _load_config(config_path: str):
+    from ..config import Config
+
+    cfg = Config.load(config_path) if Path(config_path).exists() else None
+    if cfg is None:
+        logger.warning("config %s not found; using defaults", config_path)
+        from ..config import Config as C
+
+        cfg = C()
+    if os.environ.get("DOCKER_ENV"):
+        base = Path("/app")
+        for field in ("raw_dir", "processed_dir", "output_dir",
+                      "input_zip_folder", "models_dir"):
+            setattr(cfg.data, field, str(base / getattr(cfg.data, field)))
+    return cfg
+
+
+def _master_checkpoint_path(cfg) -> Path:
+    return Path(cfg.evaluation.checkpoint_dir) / "master_checkpoint.pth"
+
+
+def _image_size(cfg) -> int:
+    """Model tile size; 512 in the reference (train.py:67-70). The
+    data.image_size config key exists for small-scale tests/dev runs."""
+    return int((cfg.raw.get("data") or {}).get("image_size", 512))
+
+
+def _build_models(compute_dtype=None):
+    from ..models import Discriminator, PConvUNet
+
+    return (
+        PConvUNet(compute_dtype=compute_dtype, precision=None),
+        Discriminator(compute_dtype=compute_dtype, precision=None),
+    )
+
+
+def _load_vgg(cfg):
+    """Perceptual-loss weights: npz/pth path from config, else None."""
+    from ..models import vgg as vgg_mod
+
+    path = (cfg.raw.get("training", {}) or {}).get("vgg_weights_path")
+    if path and Path(path).exists():
+        return vgg_mod.load_weights(path)
+    if cfg.training.loss_weights.perceptual > 0:
+        logger.warning(
+            "no pretrained VGG weights configured "
+            "(training.vgg_weights_path); using fixed-seed random VGG "
+            "features for the perceptual term"
+        )
+        return vgg_mod.random_weights(0)
+    return None
+
+
+def _init_master_state(cfg, input_model: Optional[str], image_size=512):
+    import jax
+
+    from ..training import GANTrainState, adam, import_pth, resolve_checkpoint
+
+    G, D = _build_models()
+    lr = cfg.training.initial.learning_rate
+    state = GANTrainState.create(
+        G, D, jax.random.PRNGKey(0),
+        sample_shape=(1, image_size, image_size, 1),
+        g_tx=adam(lr), d_tx=adam(lr),
+    )
+    ckpt = resolve_checkpoint(
+        input_model, _master_checkpoint_path(cfg),
+        "_BASELINE_MODEL/BASELINE_MODEL.pth",
+    )
+    if ckpt is not None:
+        try:
+            state, extra = import_pth(ckpt, state)
+            logger.info("loaded checkpoint %s (epoch %s)", ckpt, extra.get("epoch"))
+        except Exception as e:
+            logger.error("checkpoint load failed (%s); fresh init", e)
+    return G, D, state
+
+
+# ---------------------------------------------------------------------------
+# train
+# ---------------------------------------------------------------------------
+
+def run_training_mode(
+    cfg, input_model: Optional[str] = None, tracker=None, mesh=None
+) -> bool:
+    from ..data import GeographicalSplitter, PathManager, ingest_zip
+    from ..data.visualization import create_split_visualization
+    from ..training import export_pth, train
+
+    zip_folder = Path(cfg.data.input_zip_folder)
+    zips = sorted(zip_folder.glob("*.zip")) if zip_folder.exists() else []
+    if not zips:
+        logger.error("no input zips in %s", zip_folder)
+        return False
+
+    pm = PathManager(cfg)
+    G, D, state = _init_master_state(cfg, input_model)
+    vgg = _load_vgg(cfg)
+    successful: List[str] = []
+    failed: List[str] = []
+    metrics: Dict[str, Any] = {}
+
+    for zip_path in zips:
+        try:
+            parent = pm.parent_from_zip(zip_path)
+        except ValueError as e:
+            logger.error("%s", e)
+            failed.append(zip_path.name)
+            continue
+        logger.info("=== processing parent grid %s ===", parent)
+        try:
+            splitter = GeographicalSplitter(
+                parent, Path(cfg.data.processed_dir)
+            )
+            if not ingest_zip(zip_path, parent, cfg, splitter=splitter):
+                failed.append(parent)
+                continue
+            splitter.generate_splits()
+            splitter.apply_splits()
+            splitter.save_metadata()
+            try:
+                create_split_visualization(
+                    Path(cfg.data.processed_dir) / parent / "metadata",
+                    parent_grid=parent,
+                )
+            except Exception as e:
+                logger.warning("split visualization failed: %s", e)
+
+            proc = Path(cfg.data.processed_dir) / parent
+            result = train(
+                proc / "train" / "images", proc / "train" / "masks",
+                G, D, state=state,
+                checkpoint_path=_master_checkpoint_path(cfg),
+                config=cfg, tracker=tracker,
+                val_img_dir=proc / "val" / "images",
+                val_mask_dir=proc / "val" / "masks",
+                vgg_params=vgg, mesh=mesh,
+                image_size=_image_size(cfg),
+            )
+            state = result.pop("state")
+            metrics[parent] = result
+            successful.append(parent)
+        except Exception as e:
+            logger.exception("parent %s failed: %s", parent, e)
+            failed.append(parent)
+
+    # final master checkpoint + timestamped copy (main_pipeline.py:386-412)
+    ckpt_path = _master_checkpoint_path(cfg)
+    ckpt_path.parent.mkdir(parents=True, exist_ok=True)
+    export_pth(
+        ckpt_path, state,
+        epoch=max(
+            (m.get("final_epoch", 0) for m in metrics.values()), default=0
+        ),
+        lr=cfg.training.initial.learning_rate,
+        config=cfg.raw,
+        extra={"processed_grids": successful, "metrics": metrics},
+    )
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    import shutil
+
+    shutil.copy2(ckpt_path, ckpt_path.parent / f"master_checkpoint_{stamp}.pth")
+    with open(ckpt_path.parent / f"training_metrics_{stamp}.json", "w") as f:
+        json.dump(
+            {"successful": successful, "failed": failed, "metrics": metrics},
+            f, indent=2, default=str,
+        )
+    logger.info(
+        "training done: %d grids ok, %d failed", len(successful), len(failed)
+    )
+    return bool(successful)
+
+
+# ---------------------------------------------------------------------------
+# evaluate
+# ---------------------------------------------------------------------------
+
+def run_evaluation_mode(
+    cfg, input_model: Optional[str] = None, target_grid: Optional[str] = None,
+    tracker=None, mesh=None,
+) -> bool:
+    from ..data import PathManager, is_valid_parent_grid
+    from ..data.visualization import DSMColorizer
+    from ..evaluation.inference import inpaint_directory, load_generator_variables
+
+    pm = PathManager(cfg)
+    processed = Path(cfg.data.processed_dir)
+    model_path = Path(input_model) if input_model else _master_checkpoint_path(cfg)
+    if not model_path.exists():
+        logger.error("no model for evaluation: %s", model_path)
+        return False
+
+    if target_grid and is_valid_parent_grid(target_grid):
+        if not (processed / target_grid).is_dir():
+            logger.error("grid %s not in processed data", target_grid)
+            return False
+        parents = [target_grid]
+    else:
+        parents = sorted(
+            d.name for d in processed.glob("[A-Z][A-Z]*")
+            if d.is_dir() and is_valid_parent_grid(d.name)
+        )
+    if not parents:
+        logger.error("no processed parent grids found")
+        return False
+
+    G, _ = _build_models()
+    variables = load_generator_variables(model_path)
+    total = 0
+    for parent in parents:
+        paths = pm.create_parent_structure(parent)
+        test_images = processed / parent / "test" / "images"
+        test_masks = processed / parent / "test" / "masks"
+        if not (test_images.exists() and test_masks.exists()):
+            logger.warning("no test split for %s; skipping", parent)
+            continue
+        outs = inpaint_directory(
+            G, variables, test_images, test_masks,
+            paths["output_inpainted"], mesh=mesh,
+            model_size=_image_size(cfg),
+        )
+        if outs:
+            DSMColorizer(
+                paths["output_inpainted"], paths["output_colored"]
+            ).recolor_all()
+        logger.info("%s: %d tiles inpainted + colorized", parent, len(outs))
+        total += len(outs)
+    return total > 0
+
+
+# ---------------------------------------------------------------------------
+# human-guided train
+# ---------------------------------------------------------------------------
+
+def run_human_guided_training_mode(
+    cfg, input_model: Optional[str] = None, target_grid: Optional[str] = None,
+    tracker=None,
+) -> bool:
+    import jax
+
+    from ..data.dataset import DirectMatchDataset
+    from ..evaluation.inference import load_generator_variables
+    from ..portal import (
+        PortalClient,
+        fetch_annotations_for_grid,
+        match_human_and_system_masks,
+        validate_dataset,
+    )
+    from ..training import HumanGuidedTrainer
+    from ..utils.torch_compat import save_pth
+
+    model_path = Path(input_model) if input_model else _master_checkpoint_path(cfg)
+    if not model_path.exists():
+        logger.error("no model for human-guided training: %s", model_path)
+        return False
+
+    # resolve grid square (args -> EXPERIMENT_MODE zip scan -> prompt)
+    grid = target_grid
+    if grid is None and experiment_mode():
+        zips = sorted(Path(cfg.data.input_zip_folder).glob("*.zip"))
+        if zips:
+            grid = zips[0].stem.upper()
+    if grid is None:
+        grid = input("Enter grid square for human-guided training: ").strip().upper()
+    if not grid:
+        logger.error("no grid square specified")
+        return False
+
+    # fetch annotations from the portal when configured
+    if cfg.portal.base_url:
+        try:
+            client = PortalClient(cfg.portal.base_url, cfg.portal.api_key)
+            fetch_annotations_for_grid(grid, client, cfg)
+        except Exception as e:
+            logger.warning("portal fetch failed (%s); using local files", e)
+
+    pairs = match_human_and_system_masks(grid, cfg)
+    if not pairs:
+        logger.error("no matched annotation pairs for %s", grid)
+        return False
+    dataset = DirectMatchDataset(pairs, size=_image_size(cfg))
+    if not validate_dataset(dataset):
+        return False
+
+    from ..models import PConvUNet
+
+    G = PConvUNet(precision=None)
+    variables = load_generator_variables(model_path)
+    trainer = HumanGuidedTrainer(cfg, tracker=tracker)
+    ckpt_dir = Path(cfg.evaluation.checkpoint_dir) / "human_guided"
+    result = trainer.train(
+        G, variables, dataset,
+        checkpoint_dir=ckpt_dir, vgg_params=_load_vgg(cfg),
+    )
+
+    # save generator-only master with HG provenance (main_pipeline.py:705-737)
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    out_vars = result["variables"]
+    from ..utils.torch_compat import generator_vars_to_torch_state
+    import numpy as np
+
+    ckpt = {
+        "generator_state_dict": generator_vars_to_torch_state(
+            jax.tree.map(np.asarray, out_vars)
+        ),
+        "human_guided": True,
+        "source_model": str(model_path),
+        "grid_square": grid,
+        "best_loss": result["best_loss"],
+        "config": cfg.raw,
+    }
+    master_dir = _master_checkpoint_path(cfg).parent
+    master_dir.mkdir(parents=True, exist_ok=True)
+    save_pth(master_dir / f"master_model_human_guided_{stamp}.pth", ckpt)
+    save_pth(master_dir / "master_checkpoint.pth", ckpt)
+    logger.info("human-guided training complete: best_loss=%s", result["best_loss"])
+
+    # optional portal cleanup (main_pipeline.py:751-790)
+    if cfg.portal.base_url and experiment_mode():
+        try:
+            client = PortalClient(cfg.portal.base_url, cfg.portal.api_key)
+            names = [Path(p["human_mask_path"]).name for p in pairs]
+            client.delete_processed_annotations(grid, names, confirm=True)
+        except Exception as e:
+            logger.warning("portal cleanup failed: %s", e)
+    return True
+
+
+# ---------------------------------------------------------------------------
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        description="TERRA-GAN TPU pipeline driver"
+    )
+    parser.add_argument(
+        "--mode", required=True,
+        choices=["train", "evaluate", "human_guided_train"],
+    )
+    parser.add_argument("--input_model", default=None)
+    parser.add_argument("--grid", default=None)
+    parser.add_argument("--config", default="config.yaml")
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument(
+        "--no-tracking", action="store_true",
+        help="disable experiment tracking for this run",
+    )
+    args = parser.parse_args(argv)
+
+    setup_logging(args.debug)
+    cfg = _load_config(args.config)
+
+    tracker = None
+    if not args.no_tracking and cfg.experiment_tracking.enabled:
+        from ..tracking import ExperimentTracker
+
+        tracker = ExperimentTracker(cfg)
+        tracker.start_run(
+            f"{args.mode}_{time.strftime('%Y%m%d_%H%M%S')}",
+            params={"mode": args.mode, **(cfg.raw.get("training") or {})},
+        )
+
+    try:
+        if args.mode == "train":
+            ok = run_training_mode(cfg, args.input_model, tracker)
+        elif args.mode == "evaluate":
+            ok = run_evaluation_mode(cfg, args.input_model, args.grid, tracker)
+        else:
+            ok = run_human_guided_training_mode(
+                cfg, args.input_model, args.grid, tracker
+            )
+    finally:
+        if tracker is not None:
+            tracker.end_run()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

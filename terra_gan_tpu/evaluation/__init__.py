@@ -1,5 +1,11 @@
-"""Evaluation: image quality, boundary, mask-agreement metrics."""
+"""Evaluation: image quality, boundary, mask-agreement metrics; inference."""
 
+from .inference import (
+    evaluate,
+    inpaint_directory,
+    inpaint_with_gan,
+    load_generator_variables,
+)
 from .metrics import (
     MaskEvaluator,
     MaskMetrics,
@@ -13,6 +19,10 @@ from .metrics import (
 )
 
 __all__ = [
+    "evaluate",
+    "inpaint_directory",
+    "inpaint_with_gan",
+    "load_generator_variables",
     "MaskEvaluator",
     "MaskMetrics",
     "boundary_quality",

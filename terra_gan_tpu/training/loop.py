@@ -255,6 +255,7 @@ def train(
 def _save(path: Path, state, epoch, lr, config, extra):
     """Dual-format save: orbax native dir + reference-layout .pth."""
     path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
     try:
         if path.suffix == ".pth":
             export_pth(

@@ -1,0 +1,135 @@
+"""End-to-end CLI pipeline test: train -> evaluate -> human_guided_train
+on a synthetic Digimap zip (the reference's full L5 flow, SURVEY §3)."""
+
+import os
+import zipfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+cv2 = pytest.importorskip("cv2")
+torch = pytest.importorskip("torch")
+
+from terra_gan_tpu.data.asc import write_asc
+
+
+@pytest.fixture()
+def workspace(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("EXPERIMENT_MODE", "true")
+    rng = np.random.default_rng(0)
+    cfg = {
+        "training": {
+            "loss_weights": {"perceptual": 0.0, "tv": 0.1, "boundary": 0},
+            "modes": {
+                "initial": {"epochs": 1, "batch_size": 2},
+                "human_guided": {
+                    "epochs": 1, "batch_size": 2, "learning_rate": 1e-4,
+                    "human_feedback_weight": 0.3, "base_loss_weight": 0.7,
+                },
+            },
+        },
+        "evaluation": {"checkpoint_dir": "ckpts"},
+        "mask_processing": {"visualization": {"enabled": False}},
+        "experiment_tracking": {"enabled": False},
+        "data": {
+            "raw_dir": "data/raw", "processed_dir": "data/processed",
+            "output_dir": "data/output", "input_zip_folder": "data/zips",
+            "models_dir": "data/models", "image_size": 64,
+        },
+    }
+    with open("config.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    src = tmp_path / "src"
+    dsm = src / "getmapping-dsm-2000_x"
+    rgb = src / "getmapping_rgb_25cm_x"
+    dsm.mkdir(parents=True), rgb.mkdir(parents=True)
+    for x in range(3):
+        for y in range(3):
+            name = f"nj{x:02d}{y:02d}"
+            write_asc(dsm / f"{name}_DSM.asc", rng.uniform(0, 100, (64, 64)))
+            img = rng.integers(60, 200, (128, 128, 3), dtype=np.uint8)
+            cv2.imwrite(str(rgb / f"{name}_rgb.jpg"), img)
+    (tmp_path / "data/zips").mkdir(parents=True)
+    with zipfile.ZipFile(tmp_path / "data/zips/NJ00.zip", "w") as zf:
+        for p in src.rglob("*"):
+            if p.is_file():
+                zf.write(p, p.relative_to(src))
+    return tmp_path
+
+
+def run_cli(args):
+    from terra_gan_tpu.cli.main_pipeline import main
+
+    return main(args)
+
+
+class TestPipelineCLI:
+    def test_full_flow(self, workspace):
+        rng = np.random.default_rng(1)
+
+        # ---- train ----
+        assert run_cli(["--mode", "train", "--config", "config.yaml"]) == 0
+        assert Path("ckpts/master_checkpoint.pth").exists()
+        # timestamped copy + metrics json
+        assert list(Path("ckpts").glob("master_checkpoint_*.pth"))
+        assert list(Path("ckpts").glob("training_metrics_*.json"))
+        # splits materialized
+        assert (Path("data/processed/NJ00/train/images")).is_dir()
+
+        # master checkpoint loads into the reference torch model
+        import sys
+        sys.path.insert(0, str(Path(__file__).parent))
+        from ref_loader import load_reference_models, reference_available
+
+        if reference_available():
+            ref = load_reference_models()
+            ck = torch.load(
+                "ckpts/master_checkpoint.pth", map_location="cpu",
+                weights_only=False,
+            )
+            ref.generator.PConvUNet().load_state_dict(
+                ck["generator_state_dict"]
+            )
+            assert ck["processed_grids"] == ["NJ00"]
+
+        # ---- evaluate ----
+        assert run_cli(["--mode", "evaluate", "--config", "config.yaml"]) == 0
+        inpainted = sorted(Path("data/output/NJ00/inpainted").glob("*.png"))
+        assert len(inpainted) == 3  # one third of 9 tiles are test split
+        assert Image.open(inpainted[0]).size == (500, 500)
+        colored = sorted(Path("data/output/NJ00/colored").glob("*.png"))
+        assert len(colored) == 3
+
+        # ---- human-guided ----
+        ann = Path("data/output/NJ00/human_annotation_masks")
+        ann.mkdir(parents=True, exist_ok=True)
+        for m in Path("data/processed/NJ00/test/masks").glob(
+            "*_mask_resized.png"
+        ):
+            tile = m.stem.replace("_mask_resized", "")
+            hm = (rng.random((64, 64)) > 0.8).astype(np.uint8) * 255
+            Image.fromarray(hm).save(ann / f"colored_{tile}_user1.png")
+        assert run_cli(
+            ["--mode", "human_guided_train", "--grid", "NJ00",
+             "--config", "config.yaml"]
+        ) == 0
+        assert list(Path("ckpts").glob("master_model_human_guided_*.pth"))
+        hg = torch.load(
+            sorted(Path("ckpts").glob("master_model_human_guided_*.pth"))[-1],
+            map_location="cpu", weights_only=False,
+        )
+        assert hg["human_guided"] is True
+        assert hg["grid_square"] == "NJ00"
+
+    def test_evaluate_without_model_fails(self, workspace):
+        assert run_cli(["--mode", "evaluate", "--config", "config.yaml"]) == 1
+
+    def test_train_without_zips_fails(self, workspace):
+        for z in Path("data/zips").glob("*.zip"):
+            z.unlink()
+        assert run_cli(["--mode", "train", "--config", "config.yaml"]) == 1
