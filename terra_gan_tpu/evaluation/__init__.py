@@ -6,6 +6,9 @@ from .inference import (
     inpaint_with_gan,
     load_generator_variables,
 )
+from .random_masks import generate_batch, generate_dem_random_mask
+from .statistics import StatisticalTester, cohens_d, interpret_effect_size
+from .terrain import TerrainEvaluator
 from .metrics import (
     MaskEvaluator,
     MaskMetrics,
@@ -19,6 +22,12 @@ from .metrics import (
 )
 
 __all__ = [
+    "StatisticalTester",
+    "TerrainEvaluator",
+    "cohens_d",
+    "generate_batch",
+    "generate_dem_random_mask",
+    "interpret_effect_size",
     "evaluate",
     "inpaint_directory",
     "inpaint_with_gan",
