@@ -31,7 +31,14 @@ from .layers import TorchBatchNorm, torch_conv_bias_init, torch_conv_kernel_init
 
 
 class PConv2d(nn.Module):
-    """Partial conv + optional BatchNorm + ReLU (pconv.py:25-50)."""
+    """Partial conv + optional BatchNorm + ReLU (pconv.py:25-50).
+
+    With use_pallas, eval-mode calls lower to the fused Pallas kernel
+    (ops/pallas/pconv_kernel.py) — conv, renorm, mask update, BN
+    affine, and ReLU in one pass — falling back to the lax path for
+    stages outside the kernel's envelope and for training (BatchNorm
+    needs global batch stats).
+    """
 
     features: int
     kernel_size: int
@@ -40,6 +47,7 @@ class PConv2d(nn.Module):
     use_batch_norm: bool = True
     compute_dtype: Optional[Any] = None
     precision: Optional[Any] = "highest"
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool):
@@ -51,12 +59,31 @@ class PConv2d(nn.Module):
         bias = self.param(
             "bias", torch_conv_bias_init(k * k * in_ch), (self.features,)
         )
+        bn = TorchBatchNorm(name="bn") if self.use_batch_norm else None
+
+        if self.use_pallas and not train and bn is not None:
+            from ..ops.pallas.pconv_kernel import fused_pconv_eval
+
+            # declare BN variables (identical tree) and read their values
+            probe = jnp.zeros((1, 1, 1, self.features), jnp.float32)
+            scale, bn_bias, mean, var = bn(
+                probe, use_running_average=True, return_params=True
+            )
+            try:
+                return fused_pconv_eval(
+                    x, mask, kernel, bias, self.stride, self.padding,
+                    bn_scale=scale, bn_bias=bn_bias, bn_mean=mean,
+                    bn_var=var, relu=True,
+                )
+            except ValueError:
+                pass  # outside the kernel envelope -> lax fallback
+
         out, new_mask = partial_conv2d(
             x, mask, kernel, bias, self.stride, self.padding,
             compute_dtype=self.compute_dtype, precision=self.precision,
         )
-        if self.use_batch_norm:
-            out = TorchBatchNorm(name="bn")(out, use_running_average=not train)
+        if bn is not None:
+            out = bn(out, use_running_average=not train)
         out = nn.relu(out)
         return out, new_mask
 
@@ -71,6 +98,7 @@ class PConvUNet(nn.Module):
     base_width: int = 64
     compute_dtype: Optional[Any] = None
     precision: Optional[Any] = "highest"
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool = False):
@@ -87,7 +115,8 @@ class PConvUNet(nn.Module):
         for i, (f, k) in enumerate(enc_specs):
             h, m = PConv2d(
                 features=f, kernel_size=k, stride=2, padding=k // 2,
-                compute_dtype=cd, precision=self.precision, name=f"enc{i + 1}",
+                compute_dtype=cd, precision=self.precision,
+                use_pallas=self.use_pallas, name=f"enc{i + 1}",
             )(h, m, train)
             feats.append(h)
             masks.append(m)
@@ -98,7 +127,7 @@ class PConvUNet(nn.Module):
             skip_f, skip_m = feats[6 - i], masks[6 - i]
             dec = PConv2d(features=f, kernel_size=3, padding=1,
                           compute_dtype=cd, precision=self.precision,
-                          name=f"dec{7 - i}")
+                          use_pallas=self.use_pallas, name=f"dec{7 - i}")
             h, m = self._decode_step(h, m, skip_f, skip_m, dec, train)
 
         # Final decode without skip (generator.py:50-57)
@@ -109,7 +138,7 @@ class PConvUNet(nn.Module):
         m = jnp.maximum(m, mask)
         h, _ = PConv2d(features=w, kernel_size=3, padding=1,
                        compute_dtype=cd, precision=self.precision,
-                       name="dec1")(h, m, train)
+                       use_pallas=self.use_pallas, name="dec1")(h, m, train)
 
         final_kernel = self.param(
             "final_kernel", torch_conv_kernel_init, (3, 3, w, 1)

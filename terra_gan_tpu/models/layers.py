@@ -45,7 +45,15 @@ class TorchBatchNorm(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, use_running_average: bool) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        use_running_average: bool,
+        return_params: bool = False,
+    ):
+        """Normalize x — or, with return_params, declare the variables
+        and hand back (scale, bias, mean, var) so a fused kernel can
+        consume them (x then only provides the feature count)."""
         features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,))
         bias = self.param("bias", nn.initializers.zeros, (features,))
@@ -55,6 +63,8 @@ class TorchBatchNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
         )
+        if return_params:
+            return scale, bias, ra_mean.value, ra_var.value
 
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value

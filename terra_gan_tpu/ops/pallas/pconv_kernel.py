@@ -1,0 +1,264 @@
+"""Fused partial-convolution inference kernel (Pallas/TPU).
+
+One kernel computes a full PConv2d stage in eval mode — conv + bias +
+mask renormalization + new-mask computation + eval-BatchNorm affine +
+ReLU — with every intermediate in VMEM/registers (the lax path
+round-trips each of those through HBM between XLA fusions):
+
+    out      = BN_eval( (conv(x*m) + b) * ratio ) ; ReLU
+    ratio    = k^2 / (boxsum(m) + 1e-8) * (boxsum(m) > 0)
+    new_mask = boxsum(m) > 0
+
+Design notes (shaped by what this TPU toolchain accepts):
+  * grid (batch, cout-tiles); the whole padded feature map is one VMEM
+    block per batch element — this covers every U-Net stage whose
+    padded map fits the VMEM budget (all but the 2 shallowest
+    encoder/decoder stages at 512^2/256^2, which stay on the lax path
+    where XLA's conv is already strong). Manual `pl.ds` DMA from HBM
+    crashes this remote Mosaic build, so everything uses standard
+    pipelined BlockSpecs.
+  * stride 1: taps are contiguous [oh, ow] windows of the block.
+  * stride 2: Mosaic only supports stride-1 vector slices, so the
+    host pre-splits x/mask into 2x2 phases ([4, B, H/2, W/2, C]); tap
+    (ky, kx) is then a contiguous window of phase (ky%2, kx%2).
+  * the conv is k*k MXU matmuls (window [oh*ow, cin] @ tap [cin, TN])
+    accumulated in fp32; the mask box-sum reuses the same windows on
+    the VPU; renorm/BN/ReLU fuse into the epilogue.
+
+Training mode keeps the lax path (BatchNorm needs global batch stats).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM budget for the input feature-map block (bytes). ~16MB VMEM/core
+# must hold x (x2 for pipeline double-buffering), mask, weight tile,
+# and output tile; 3MB blocks measured as the safe ceiling on v5e.
+_BLOCK_BUDGET = 3 * 1024 * 1024
+
+
+def pallas_enabled(default: bool = False) -> bool:
+    v = os.environ.get("TERRA_GAN_TPU_PALLAS")
+    if v is None:
+        return default
+    return v.lower() in ("1", "true", "yes")
+
+
+def _pick_tile(total: int, limit: int) -> int:
+    t = min(total, limit)
+    while total % t:
+        t -= 1
+    return t
+
+
+def _kernel_s1(
+    x_ref, m_ref, w_ref, b_ref, bna_ref, bnb_ref, out_ref, mout_ref,
+    *, k, oh, ow, cin, tn, window, relu,
+):
+    # mask is 3D [1, ih, iw] (width on lanes) — a trailing singleton
+    # channel would be padded to 128 lanes and blow VMEM
+    m_flat = oh * ow
+    acc = jnp.zeros((m_flat, tn), jnp.float32)
+    msum = jnp.zeros((oh, ow), jnp.float32)
+    for ky in range(k):
+        for kx in range(k):
+            xs = x_ref[0, ky : ky + oh, kx : kx + ow, :]
+            ms = m_ref[0, ky : ky + oh, kx : kx + ow]
+            acc = acc + jnp.dot(
+                (xs * ms[..., None]).reshape(m_flat, cin),
+                w_ref[ky, kx],
+                preferred_element_type=jnp.float32,
+            )
+            msum = msum + ms
+    _epilogue(acc, msum, b_ref, bna_ref, bnb_ref, out_ref, mout_ref,
+              oh, ow, tn, window, relu)
+
+
+def _kernel_s2(
+    x_ref, m_ref, w_ref, b_ref, bna_ref, bnb_ref, out_ref, mout_ref,
+    *, k, oh, ow, cin, tn, window, relu,
+):
+    m_flat = oh * ow
+    acc = jnp.zeros((m_flat, tn), jnp.float32)
+    msum = jnp.zeros((oh, ow), jnp.float32)
+    for ky in range(k):
+        for kx in range(k):
+            ph = 2 * (ky % 2) + (kx % 2)
+            oy, ox = ky // 2, kx // 2
+            xs = x_ref[ph, 0, oy : oy + oh, ox : ox + ow, :]
+            ms = m_ref[ph, 0, oy : oy + oh, ox : ox + ow]
+            acc = acc + jnp.dot(
+                (xs * ms[..., None]).reshape(m_flat, cin),
+                w_ref[ky, kx],
+                preferred_element_type=jnp.float32,
+            )
+            msum = msum + ms
+    _epilogue(acc, msum, b_ref, bna_ref, bnb_ref, out_ref, mout_ref,
+              oh, ow, tn, window, relu)
+
+
+def _epilogue(acc, msum, b_ref, bna_ref, bnb_ref, out_ref, mout_ref,
+              oh, ow, tn, window, relu):
+    # broadcast in (oh, ow, tn) space: a lanes->sublanes reshape of the
+    # ratio is an unsupported relayout on Mosaic
+    valid = msum > 0.0
+    ratio = jnp.where(valid, window / (msum + 1e-8), 0.0)  # (oh, ow)
+    out = acc.reshape(oh, ow, tn)
+    out = (out + b_ref[0]) * ratio[..., None]
+    out = out * bna_ref[0] + bnb_ref[0]
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    out_ref[0] = out
+    mout_ref[0] = valid.astype(jnp.float32)
+
+
+def _phase_split(a: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, ...] (H, W even) -> [4, B, H/2, W/2, ...] 2x2 phases."""
+    return jnp.stack(
+        [
+            a[:, 0::2, 0::2],
+            a[:, 0::2, 1::2],
+            a[:, 1::2, 0::2],
+            a[:, 1::2, 1::2],
+        ],
+        axis=0,
+    )
+
+
+def fused_pconv_eval(
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    stride: int,
+    padding: int,
+    bn_scale: Optional[jnp.ndarray] = None,
+    bn_bias: Optional[jnp.ndarray] = None,
+    bn_mean: Optional[jnp.ndarray] = None,
+    bn_var: Optional[jnp.ndarray] = None,
+    eps: float = 1e-5,
+    relu: bool = True,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused eval-mode PConv stage. x: [B,H,W,C], mask: [B,H,W,1].
+
+    Returns (out [B,OH,OW,O], new_mask [B,OH,OW,1]). Raises ValueError
+    when the stage doesn't fit this kernel's envelope (caller falls
+    back to the lax path).
+    """
+    b, h, w, cin = x.shape
+    kh, kw, wc, cout = kernel.shape
+    assert kh == kw and wc == cin
+    k = kh
+    if stride not in (1, 2):
+        raise ValueError(f"unsupported stride {stride}")
+    if cin < 8:
+        # sub-sublane channel counts degrade to outer products; the lax
+        # conv path is better for the 1-channel first stage
+        raise ValueError(f"cin={cin} below pallas kernel threshold")
+    oh = (h + 2 * padding - k) // stride + 1
+    ow = (w + 2 * padding - k) // stride + 1
+
+    ih, iw = h + 2 * padding, w + 2 * padding
+    if stride == 2:
+        ih += ih % 2
+        iw += iw % 2
+    block_bytes = ih * iw * cin * 4
+    if block_bytes > _BLOCK_BUDGET:
+        raise ValueError(
+            f"feature map too large for full-image pallas block "
+            f"({block_bytes} bytes)"
+        )
+
+    if bn_scale is not None:
+        a = bn_scale / jnp.sqrt(bn_var + eps)
+        bb = bn_bias - bn_mean * a
+    else:
+        a = jnp.ones((cout,), jnp.float32)
+        bb = jnp.zeros((cout,), jnp.float32)
+
+    pad_h = (padding, ih - h - padding)
+    pad_w = (padding, iw - w - padding)
+    x_pad = jnp.pad(x.astype(jnp.float32), ((0, 0), pad_h, pad_w, (0, 0)))
+    # mask rides as 3D so its lane dim is W, not a padded singleton C
+    m_pad = jnp.pad(mask[..., 0].astype(jnp.float32), ((0, 0), pad_h, pad_w))
+
+    tn = _pick_tile(cout, 128)
+    grid = (b, cout // tn)
+    common = dict(k=k, oh=oh, ow=ow, cin=cin, tn=tn,
+                  window=float(k * k), relu=relu)
+
+    w_spec = pl.BlockSpec(
+        (k, k, cin, tn), lambda bi, ci: (0, 0, 0, ci),
+        memory_space=pltpu.VMEM,
+    )
+    vec_spec = pl.BlockSpec(
+        (1, tn), lambda bi, ci: (0, ci), memory_space=pltpu.VMEM
+    )
+    out_specs = [
+        pl.BlockSpec(
+            (1, oh, ow, tn), lambda bi, ci: (bi, 0, 0, ci),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, oh, ow), lambda bi, ci: (bi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, oh, ow, cout), jnp.float32),
+        jax.ShapeDtypeStruct((b, oh, ow), jnp.float32),
+    ]
+
+    if stride == 1:
+        kern = functools.partial(_kernel_s1, **common)
+        in_specs = [
+            pl.BlockSpec(
+                (1, ih, iw, cin), lambda bi, ci: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, ih, iw), lambda bi, ci: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        x_in, m_in = x_pad, m_pad
+    else:
+        kern = functools.partial(_kernel_s2, **common)
+        x_in, m_in = _phase_split(x_pad), _phase_split(m_pad)
+        ih2, iw2 = ih // 2, iw // 2
+        in_specs = [
+            pl.BlockSpec(
+                (4, 1, ih2, iw2, cin), lambda bi, ci: (0, bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (4, 1, ih2, iw2), lambda bi, ci: (0, bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+
+    out, new_mask3 = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs + [w_spec, vec_spec, vec_spec, vec_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        x_in,
+        m_in,
+        kernel.astype(jnp.float32),
+        bias.astype(jnp.float32).reshape(1, cout),
+        a.astype(jnp.float32).reshape(1, cout),
+        bb.astype(jnp.float32).reshape(1, cout),
+    )
+    return out, new_mask3[..., None]

@@ -34,20 +34,31 @@ _DN = ("NHWC", "HWIO", "NHWC")
 
 
 def mask_window_sum(
-    mask: jnp.ndarray, kh: int, kw: int, stride: int, padding: int
+    mask: jnp.ndarray,
+    kh: int,
+    kw: int,
+    stride: int,
+    padding: int,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """Box-sum of the mask over the conv window (the frozen ones-conv).
 
     mask: [B, H, W, 1] float. Returns [B, H', W', 1] float32 counts.
+
+    The op is HBM-bandwidth-bound; when compute_dtype is bfloat16 the
+    sum runs in bf16, which is EXACT here — 0/1 masks and window sums
+    <= 255 are integers representable in bf16's 8-bit mantissa — while
+    halving the traffic.
     """
+    dt = compute_dtype or jnp.float32
     return lax.reduce_window(
-        mask.astype(jnp.float32),
-        0.0,
+        mask.astype(dt),
+        jnp.zeros((), dt),
         lax.add,
         window_dimensions=(1, kh, kw, 1),
         window_strides=(1, stride, stride, 1),
         padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
-    )
+    ).astype(jnp.float32)
 
 
 def partial_conv2d(
@@ -96,7 +107,9 @@ def partial_conv2d(
         precision=precision,
     )
 
-    mask_sum = mask_window_sum(mask, kh, kw, stride, padding)
+    mask_sum = mask_window_sum(
+        mask, kh, kw, stride, padding, compute_dtype=compute_dtype
+    )
     # Renormalization ratio; the hard (sum>0) gate zeroes hole-only windows.
     valid = mask_sum > 0.0
     ratio = jnp.where(valid, window / (mask_sum + 1e-8), 0.0)
