@@ -410,6 +410,12 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     setup_logging(args.debug)
+    try:
+        from ..utils.jax_setup import enable_persistent_cache
+
+        enable_persistent_cache()
+    except Exception as e:
+        logger.debug("persistent compile cache unavailable: %s", e)
     cfg = _load_config(args.config)
 
     tracker = None
