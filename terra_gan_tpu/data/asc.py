@@ -43,17 +43,23 @@ def read_asc(path: str | Path) -> Tuple[np.ndarray, Dict[str, float]]:
             key, value = parts
             header[key] = float(value)
         body = f.read()
-    # fast single-pass numeric parse
-    values = np.array(body.split(), dtype=np.float64)
     nrows = int(header.get("nrows", 0))
     ncols = int(header.get("ncols", 0))
-    if nrows * ncols != values.size:
-        raise ValueError(
-            f"{path}: expected {nrows * ncols} values, got {values.size}"
-        )
-    grid = values.reshape(nrows, ncols)
     nodata = header.get("NODATA_value", DEFAULT_NODATA)
-    grid[grid == nodata] = np.nan
+
+    # native single-pass strtod parse (native/terra_io.cpp) when built;
+    # vectorized numpy fallback otherwise
+    from ..utils.native import parse_asc_body
+
+    grid = parse_asc_body(body, nrows, ncols, nodata)
+    if grid is None:
+        values = np.array(body.split(), dtype=np.float64)
+        if nrows * ncols != values.size:
+            raise ValueError(
+                f"{path}: expected {nrows * ncols} values, got {values.size}"
+            )
+        grid = values.reshape(nrows, ncols)
+        grid[grid == nodata] = np.nan
     return grid, header
 
 
@@ -61,6 +67,11 @@ def normalize_tile(data: np.ndarray) -> Optional[np.ndarray]:
     """Per-tile min-max normalize to uint8; NaN -> 0. None if all-NODATA."""
     if np.all(np.isnan(data)):
         return None
+    from ..utils.native import normalize_u8
+
+    native = normalize_u8(data)
+    if native is not None:
+        return native
     lo, hi = np.nanmin(data), np.nanmax(data)
     if lo == hi:
         out = np.zeros_like(data)

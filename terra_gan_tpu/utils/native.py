@@ -1,0 +1,138 @@
+"""ctypes bindings for the native host-IO library (native/terra_io.cpp).
+
+Loads libterra_io.so, building it with `make` on first use when only
+the source is present (g++ is part of this toolchain; pybind11 is not,
+hence the plain C ABI). Every consumer has a NumPy fallback — the
+native path is a host-throughput optimization, never a requirement.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = NATIVE_DIR / "libterra_io.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        result = subprocess.run(
+            ["make", "-C", str(NATIVE_DIR)],
+            capture_output=True, text=True, timeout=120,
+        )
+        if result.returncode != 0:
+            logger.warning("native build failed: %s", result.stderr[-500:])
+            return False
+        return _LIB_PATH.exists()
+    except Exception as e:
+        logger.warning("native build unavailable: %s", e)
+        return False
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    """The shared library, building it on first use; None on failure."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _LIB_PATH.exists() and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError as e:
+            logger.warning("cannot load %s: %s", _LIB_PATH, e)
+            return None
+        lib.terra_parse_asc.restype = ctypes.c_long
+        lib.terra_parse_asc.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_long, ctypes.c_double,
+        ]
+        lib.terra_normalize_u8.restype = ctypes.c_int
+        lib.terra_normalize_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.terra_box_sum_u8.restype = None
+        lib.terra_box_sum_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        _lib = lib
+        logger.info("native terra_io loaded from %s", _LIB_PATH)
+        return _lib
+
+
+def native_available() -> bool:
+    return load_library() is not None
+
+
+def parse_asc_body(
+    body: str, nrows: int, ncols: int, nodata: float
+) -> Optional[np.ndarray]:
+    """Native parse of an .asc numeric body; None when unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    raw = body.encode()
+    out = np.empty(nrows * ncols, np.float64)
+    n = lib.terra_parse_asc(
+        raw, len(raw),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out.size, float(nodata),
+    )
+    if n != out.size:
+        logger.warning("native parse got %d/%d values", n, out.size)
+        return None
+    return out.reshape(nrows, ncols)
+
+
+def normalize_u8(data: np.ndarray) -> Optional[np.ndarray]:
+    """Native NaN-aware min-max normalize; None when unavailable or
+    the tile is all-NODATA."""
+    lib = load_library()
+    if lib is None:
+        return None
+    flat = np.ascontiguousarray(data, np.float64).ravel()
+    out = np.empty(flat.size, np.uint8)
+    rc = lib.terra_normalize_u8(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        flat.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        return None
+    return out.reshape(data.shape)
+
+
+def box_sum_u8(
+    mask: np.ndarray, k: int, stride: int, padding: int
+) -> Optional[np.ndarray]:
+    """Native box sum of a binary uint8 mask; None when unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    m = np.ascontiguousarray(mask, np.uint8)
+    h, w = m.shape
+    oh = (h + 2 * padding - k) // stride + 1
+    ow = (w + 2 * padding - k) // stride + 1
+    out = np.empty((oh, ow), np.int32)
+    lib.terra_box_sum_u8(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, k, stride, padding,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out

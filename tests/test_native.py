@@ -1,0 +1,71 @@
+"""Native host-IO library (native/terra_io.cpp via ctypes).
+
+Skips cleanly when the toolchain can't build the library; when built,
+the native paths must match the numpy fallbacks bit-for-bit.
+"""
+
+import numpy as np
+import pytest
+
+from terra_gan_tpu.utils.native import (
+    box_sum_u8,
+    native_available,
+    normalize_u8,
+    parse_asc_body,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native library not built"
+)
+
+
+def test_parse_matches_numpy():
+    rng = np.random.default_rng(0)
+    data = rng.uniform(-100, 400, (64, 64))
+    data[3, :5] = -9999.0
+    body = "\n".join(
+        " ".join(f"{v:.3f}" for v in row) for row in data
+    )
+    got = parse_asc_body(body, 64, 64, -9999.0)
+    want = np.array(body.split(), dtype=np.float64).reshape(64, 64)
+    want[want == -9999.0] = np.nan
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_allclose(
+        got[~np.isnan(got)], want[~np.isnan(want)]
+    )
+
+
+def test_parse_truncated_body_returns_none():
+    assert parse_asc_body("1.0 2.0 3.0", 2, 2, -9999.0) is None
+
+
+def test_normalize_bitexact_vs_numpy():
+    rng = np.random.default_rng(1)
+    data = rng.uniform(-5, 250, (50, 50))
+    data[0, 0] = np.nan
+    got = normalize_u8(data)
+    lo, hi = np.nanmin(data), np.nanmax(data)
+    want = np.nan_to_num(255 * (data - lo) / (hi - lo), nan=0.0).astype(
+        np.uint8
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_normalize_flat_and_all_nan():
+    assert (normalize_u8(np.full((4, 4), 3.0)) == 0).all()
+    assert normalize_u8(np.full((4, 4), np.nan)) is None
+
+
+def test_box_sum_matches_bruteforce():
+    rng = np.random.default_rng(2)
+    m = (rng.random((33, 47)) > 0.5).astype(np.uint8)
+    k, s, p = 5, 2, 2
+    got = box_sum_u8(m, k, s, p)
+    padded = np.pad(m, p)
+    oh = (33 + 2 * p - k) // s + 1
+    ow = (47 + 2 * p - k) // s + 1
+    want = np.zeros((oh, ow), np.int32)
+    for y in range(oh):
+        for x in range(ow):
+            want[y, x] = padded[y * s : y * s + k, x * s : x * s + k].sum()
+    np.testing.assert_array_equal(got, want)
