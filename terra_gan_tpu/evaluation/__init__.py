@@ -7,6 +7,13 @@ from .inference import (
     load_generator_variables,
 )
 from .random_masks import generate_batch, generate_dem_random_mask
+from .scaffolding import (
+    GANEvaluator,
+    MetricsAggregator,
+    ResultsManager,
+    comparison_figure,
+    sample_annotation_tiles,
+)
 from .statistics import StatisticalTester, cohens_d, interpret_effect_size
 from .terrain import TerrainEvaluator
 from .metrics import (
@@ -22,7 +29,12 @@ from .metrics import (
 )
 
 __all__ = [
+    "GANEvaluator",
+    "MetricsAggregator",
+    "ResultsManager",
     "StatisticalTester",
+    "comparison_figure",
+    "sample_annotation_tiles",
     "TerrainEvaluator",
     "cohens_d",
     "generate_batch",
