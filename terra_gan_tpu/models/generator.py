@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax import lax
 from flax import linen as nn
 
-from ..ops.pconv import partial_conv2d
+from ..ops.pconv import partial_conv2d, partial_conv2d_split
 from ..ops.resize import pad_to_match, upsample2x_bilinear, upsample2x_nearest
 from .layers import TorchBatchNorm, torch_conv_bias_init, torch_conv_kernel_init
 
@@ -50,8 +50,11 @@ class PConv2d(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool):
-        in_ch = x.shape[-1]
+    def __call__(self, x, mask: jnp.ndarray, train: bool):
+        # x may be a tuple of feature tensors: an implicit channel
+        # concat lowered as split convs (ops/pconv.partial_conv2d_split)
+        parts = x if isinstance(x, (tuple, list)) else (x,)
+        in_ch = sum(p.shape[-1] for p in parts)
         k = self.kernel_size
         kernel = self.param(
             "kernel", torch_conv_kernel_init, (k, k, in_ch, self.features)
@@ -70,18 +73,27 @@ class PConv2d(nn.Module):
                 probe, use_running_average=True, return_params=True
             )
             try:
+                xc = parts[0] if len(parts) == 1 else jnp.concatenate(
+                    parts, axis=-1
+                )
                 return fused_pconv_eval(
-                    x, mask, kernel, bias, self.stride, self.padding,
+                    xc, mask, kernel, bias, self.stride, self.padding,
                     bn_scale=scale, bn_bias=bn_bias, bn_mean=mean,
                     bn_var=var, relu=True,
                 )
             except ValueError:
                 pass  # outside the kernel envelope -> lax fallback
 
-        out, new_mask = partial_conv2d(
-            x, mask, kernel, bias, self.stride, self.padding,
-            compute_dtype=self.compute_dtype, precision=self.precision,
-        )
+        if len(parts) == 1:
+            out, new_mask = partial_conv2d(
+                parts[0], mask, kernel, bias, self.stride, self.padding,
+                compute_dtype=self.compute_dtype, precision=self.precision,
+            )
+        else:
+            out, new_mask = partial_conv2d_split(
+                parts, mask, kernel, bias, self.stride, self.padding,
+                compute_dtype=self.compute_dtype, precision=self.precision,
+            )
         if bn is not None:
             out = bn(out, use_running_average=not train)
         out = nn.relu(out)
@@ -163,6 +175,6 @@ class PConvUNet(nn.Module):
         up_m = upsample2x_nearest(up_m)
         up_f = pad_to_match(up_f, skip_f.shape[1], skip_f.shape[2])
         up_m = pad_to_match(up_m, skip_m.shape[1], skip_m.shape[2])
-        merged_f = jnp.concatenate([up_f, skip_f], axis=-1)
+        # implicit concat: the PConv lowers (up_f, skip_f) as split convs
         merged_m = jnp.maximum(up_m, skip_m)
-        return dec(merged_f, merged_m, train)
+        return dec((up_f, skip_f), merged_m, train)
