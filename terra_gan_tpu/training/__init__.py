@@ -10,10 +10,18 @@ from .checkpoint import (
 from .human_guided import HumanGuidedTrainer
 from .loop import loss_config_for_initial_training, train
 from .state import GANTrainState, adam
+from .train_metrics import MetricsLogger, gradient_norms, learning_rates
+from .checkpoint_utils import load_checkpoint, save_checkpoint, validate_checkpoint
 from .step import bce_with_logits, make_eval_step, make_train_step
 
 __all__ = [
     "GANTrainState",
+    "MetricsLogger",
+    "gradient_norms",
+    "learning_rates",
+    "load_checkpoint",
+    "save_checkpoint",
+    "validate_checkpoint",
     "HumanGuidedTrainer",
     "adam",
     "bce_with_logits",
