@@ -43,6 +43,13 @@ from jax.experimental.pallas import tpu as pltpu
 # must hold x (x2 for pipeline double-buffering), mask, weight tile,
 # and output tile; 3MB blocks measured as the safe ceiling on v5e.
 _BLOCK_BUDGET = 3 * 1024 * 1024
+# Mosaic (this remote-compile build) crashes with an opaque 500 for
+# output rows wider than 64 lanes-of-sublanes in this kernel shape —
+# measured: oh128 x ow32 compiles, oh32 x ow128 crashes, with or
+# without flatten reshapes (dot_general batched over oh included).
+# Keep per-program output width within the proven envelope.
+_MAX_OW = 64
+_MAX_M = 4096
 
 
 def pallas_enabled(default: bool = False) -> bool:
@@ -64,17 +71,19 @@ def _kernel_s1(
     *, k, oh, ow, cin, tn, window, relu,
 ):
     # mask is 3D [1, ih, iw] (width on lanes) — a trailing singleton
-    # channel would be padded to 128 lanes and blow VMEM
-    m_flat = oh * ow
-    acc = jnp.zeros((m_flat, tn), jnp.float32)
+    # channel would be padded to 128 lanes and blow VMEM. The conv is a
+    # dot_general batched over oh ((ow,cin)@(cin,tn) per row): flatten
+    # reshapes relayout and crash Mosaic for ow > 64.
+    acc = jnp.zeros((oh, ow, tn), jnp.float32)
     msum = jnp.zeros((oh, ow), jnp.float32)
     for ky in range(k):
         for kx in range(k):
             xs = x_ref[0, ky : ky + oh, kx : kx + ow, :]
             ms = m_ref[0, ky : ky + oh, kx : kx + ow]
-            acc = acc + jnp.dot(
-                (xs * ms[..., None]).reshape(m_flat, cin),
+            acc = acc + jax.lax.dot_general(
+                xs * ms[..., None],
                 w_ref[ky, kx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             msum = msum + ms
@@ -86,8 +95,7 @@ def _kernel_s2(
     x_ref, m_ref, w_ref, b_ref, bna_ref, bnb_ref, out_ref, mout_ref,
     *, k, oh, ow, cin, tn, window, relu,
 ):
-    m_flat = oh * ow
-    acc = jnp.zeros((m_flat, tn), jnp.float32)
+    acc = jnp.zeros((oh, ow, tn), jnp.float32)
     msum = jnp.zeros((oh, ow), jnp.float32)
     for ky in range(k):
         for kx in range(k):
@@ -95,9 +103,10 @@ def _kernel_s2(
             oy, ox = ky // 2, kx // 2
             xs = x_ref[ph, 0, oy : oy + oh, ox : ox + ow, :]
             ms = m_ref[ph, 0, oy : oy + oh, ox : ox + ow]
-            acc = acc + jnp.dot(
-                (xs * ms[..., None]).reshape(m_flat, cin),
+            acc = acc + jax.lax.dot_general(
+                xs * ms[..., None],
                 w_ref[ky, kx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             msum = msum + ms
@@ -111,8 +120,7 @@ def _epilogue(acc, msum, b_ref, bna_ref, bnb_ref, out_ref, mout_ref,
     # ratio is an unsupported relayout on Mosaic
     valid = msum > 0.0
     ratio = jnp.where(valid, window / (msum + 1e-8), 0.0)  # (oh, ow)
-    out = acc.reshape(oh, ow, tn)
-    out = (out + b_ref[0]) * ratio[..., None]
+    out = (acc + b_ref[0]) * ratio[..., None]
     out = out * bna_ref[0] + bnb_ref[0]
     if relu:
         out = jnp.maximum(out, 0.0)
@@ -130,6 +138,128 @@ def _phase_split(a: jnp.ndarray) -> jnp.ndarray:
             a[:, 1::2, 1::2],
         ],
         axis=0,
+    )
+
+
+def _strided_strips_s1(
+    x, mask, kernel, bias, padding,
+    bn_scale, bn_bias, bn_mean, bn_var, eps, relu, interpret,
+):
+    """Stride-1 stages too large for one VMEM block: split H into
+    overlapping halo strips on the host (one XLA gather), run the
+    full-image kernel with strips as extra batch elements, reshape
+    back. Extra HBM traffic ~ (TH+k-1)/TH of the input — the fused
+    epilogue saves more."""
+    b, h, w, cin = x.shape
+    k = kernel.shape[0]
+    iw = w + 2 * padding
+    # strip height: output rows per strip, under the byte budget
+    # (incl. halo) AND the Mosaic per-program GEMM row envelope
+    rows_budget = max(k, _BLOCK_BUDGET // max(1, iw * cin * 4))
+    limit = min(rows_budget - (k - 1), _MAX_M // w)
+    th = _pick_tile(h, max(1, limit))
+    if th < 8:
+        raise ValueError("stride-1 strips degenerate (th < 8)")
+    s = h // th
+
+    x_pad = jnp.pad(
+        x.astype(jnp.float32),
+        ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+    m_pad = jnp.pad(
+        mask[..., 0].astype(jnp.float32),
+        ((0, 0), (padding, padding), (padding, padding)),
+    )
+    ihs = th + k - 1
+    x_strips = jnp.stack(
+        [x_pad[:, i * th : i * th + ihs] for i in range(s)], axis=1
+    ).reshape(b * s, ihs, iw, cin)
+    m_strips = jnp.stack(
+        [m_pad[:, i * th : i * th + ihs] for i in range(s)], axis=1
+    ).reshape(b * s, ihs, iw)
+
+    out, new_mask = _call_kernel_s1(
+        x_strips, m_strips, kernel, bias, k, th, w, cin,
+        bn_scale, bn_bias, bn_mean, bn_var, eps, relu, interpret,
+    )
+    cout = kernel.shape[3]
+    out = out.reshape(b, s * th, w, cout)
+    new_mask = new_mask.reshape(b, s * th, w)
+    return out, new_mask[..., None]
+
+
+def _bn_affine(cout, bn_scale, bn_bias, bn_mean, bn_var, eps):
+    if bn_scale is not None:
+        a = bn_scale / jnp.sqrt(bn_var + eps)
+        bb = bn_bias - bn_mean * a
+    else:
+        a = jnp.ones((cout,), jnp.float32)
+        bb = jnp.zeros((cout,), jnp.float32)
+    return a, bb
+
+
+def _call_kernel_s1(
+    x_in, m_in, kernel, bias, k, oh, ow, cin,
+    bn_scale, bn_bias, bn_mean, bn_var, eps, relu, interpret,
+):
+    """pallas_call for pre-padded stride-1 inputs [N, oh+k-1, ow+k-1, C]."""
+    n = x_in.shape[0]
+    ih, iw = x_in.shape[1], x_in.shape[2]
+    cout = kernel.shape[3]
+    a, bb = _bn_affine(cout, bn_scale, bn_bias, bn_mean, bn_var, eps)
+    tn = _pick_tile(cout, 128)
+    kern = functools.partial(
+        _kernel_s1, k=k, oh=oh, ow=ow, cin=cin, tn=tn,
+        window=float(k * k), relu=relu,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(n, cout // tn),
+        in_specs=[
+            pl.BlockSpec(
+                (1, ih, iw, cin), lambda bi, ci: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, ih, iw), lambda bi, ci: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k, k, cin, tn), lambda bi, ci: (0, 0, 0, ci),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tn), lambda bi, ci: (0, ci), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tn), lambda bi, ci: (0, ci), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tn), lambda bi, ci: (0, ci), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, oh, ow, tn), lambda bi, ci: (bi, 0, 0, ci),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, oh, ow), lambda bi, ci: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, oh, ow, cout), jnp.float32),
+            jax.ShapeDtypeStruct((n, oh, ow), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        x_in,
+        m_in,
+        kernel.astype(jnp.float32),
+        bias.astype(jnp.float32).reshape(1, cout),
+        a.astype(jnp.float32).reshape(1, cout),
+        bb.astype(jnp.float32).reshape(1, cout),
     )
 
 
@@ -171,11 +301,19 @@ def fused_pconv_eval(
     if stride == 2:
         ih += ih % 2
         iw += iw % 2
+    if ow > _MAX_OW and not interpret:
+        raise ValueError(f"ow={ow} outside pallas toolchain envelope")
     block_bytes = ih * iw * cin * 4
-    if block_bytes > _BLOCK_BUDGET:
+    if block_bytes > _BLOCK_BUDGET or oh * ow > _MAX_M:
+        if stride == 1:
+            # tall stride-1 stages: host-side halo strips, same kernel
+            return _strided_strips_s1(
+                x, mask, kernel, bias, padding,
+                bn_scale, bn_bias, bn_mean, bn_var, eps, relu, interpret,
+            )
         raise ValueError(
-            f"feature map too large for full-image pallas block "
-            f"({block_bytes} bytes)"
+            f"stage outside pallas envelope "
+            f"({block_bytes} bytes, M={oh * ow})"
         )
 
     if bn_scale is not None:

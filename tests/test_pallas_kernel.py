@@ -57,12 +57,36 @@ def test_envelope_rejections():
     b = jnp.zeros((8,))
     with pytest.raises(ValueError):
         fused_pconv_eval(x, m, w, b, 1, 1, interpret=True)
-    big = jnp.zeros((1, 512, 512, 64))  # exceeds block budget
+    # big stride-2 stage exceeds the block budget with no strips path
+    big = jnp.zeros((1, 512, 512, 64))
     with pytest.raises(ValueError):
         fused_pconv_eval(
-            big, jnp.ones((1, 512, 512, 1)), jnp.zeros((3, 3, 64, 8)), b,
-            1, 1, interpret=True,
+            big, jnp.ones((1, 512, 512, 1)), jnp.zeros((3, 3, 64, 8)),
+            b, 2, 1, interpret=True,
         )
+
+
+def test_big_stride1_uses_strips_path():
+    """Large stride-1 stages route through host-side halo strips."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 128, 32, 16), dtype=np.float32))
+    m = jnp.asarray((rng.random((1, 128, 32, 1)) > 0.4).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 8)).astype(np.float32) * 0.1)
+    b = jnp.zeros((8,))
+    # shrink the budget so the strips path triggers at this size
+    from terra_gan_tpu.ops.pallas import pconv_kernel as pk
+
+    orig = pk._BLOCK_BUDGET
+    pk._BLOCK_BUDGET = 32 * 1024
+    try:
+        got, gm = fused_pconv_eval(x, m, w, b, 1, 1, relu=True, interpret=True)
+    finally:
+        pk._BLOCK_BUDGET = orig
+    ref, rm = partial_conv2d(x, m, w, b, 1, 1, precision="highest")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(jnp.maximum(ref, 0)), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(gm), np.asarray(rm))
 
 
 def test_model_with_pallas_flag_matches(monkeypatch):
