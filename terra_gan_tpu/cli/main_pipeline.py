@@ -88,12 +88,23 @@ def _image_size(cfg) -> int:
     return int((cfg.raw.get("data") or {}).get("image_size", 512))
 
 
-def _build_models(compute_dtype=None):
+def _build_models(cfg=None, remat: bool = False):
+    """Models per config: training.compute_dtype selects bf16 perf mode
+    (fp32 default keeps strict reference parity); remat trades FLOPs
+    for HBM in large-batch training."""
+    import jax.numpy as jnp
+
     from ..models import Discriminator, PConvUNet
 
+    dtype_name = (
+        (cfg.raw.get("training") or {}).get("compute_dtype") if cfg else None
+    )
+    cd = jnp.bfloat16 if str(dtype_name).lower() in (
+        "bf16", "bfloat16"
+    ) else None
     return (
-        PConvUNet(compute_dtype=compute_dtype, precision=None),
-        Discriminator(compute_dtype=compute_dtype, precision=None),
+        PConvUNet(compute_dtype=cd, precision=None, remat=remat),
+        Discriminator(compute_dtype=cd, precision=None),
     )
 
 
@@ -119,7 +130,7 @@ def _init_master_state(cfg, input_model: Optional[str], image_size=512):
 
     from ..training import GANTrainState, adam, import_pth, resolve_checkpoint
 
-    G, D = _build_models()
+    G, D = _build_models(cfg, remat=True)
     lr = cfg.training.initial.learning_rate
     state = GANTrainState.create(
         G, D, jax.random.PRNGKey(0),
@@ -267,7 +278,7 @@ def run_evaluation_mode(
         logger.error("no processed parent grids found")
         return False
 
-    G, _ = _build_models()
+    G, _ = _build_models(cfg)
     variables = load_generator_variables(model_path)
     total = 0
     for parent in parents:

@@ -121,14 +121,17 @@ def inpainting_loss(
     total = comps["l1"]
 
     if config.perceptual_weight > 0 and vgg_params is not None:
-        feat_pred = vgg16_features(
-            pred, vgg_params, compute_dtype=compute_dtype,
-            normalize=config.vgg_normalize,
+        # remat: VGG activations at 512^2 dominate training HBM (the
+        # conv1 feature map alone is batch*512^2*64 floats); recompute
+        # them in the backward pass instead of storing them.
+        vgg_fn = jax.checkpoint(
+            lambda img: vgg16_features(
+                img, vgg_params, compute_dtype=compute_dtype,
+                normalize=config.vgg_normalize,
+            )
         )
-        feat_target = vgg16_features(
-            target, vgg_params, compute_dtype=compute_dtype,
-            normalize=config.vgg_normalize,
-        )
+        feat_pred = vgg_fn(pred)
+        feat_target = vgg_fn(target)
         comps["perceptual"] = l1_loss(feat_pred, feat_target)
         total = total + config.perceptual_weight * comps["perceptual"]
 

@@ -19,12 +19,14 @@ from .layers import TorchBatchNorm, torch_conv_bias_init, torch_conv_kernel_init
 def _conv(x, kernel, bias, stride, padding, compute_dtype, precision=None):
     xi = x if compute_dtype is None else x.astype(compute_dtype)
     ki = kernel if compute_dtype is None else kernel.astype(compute_dtype)
+    # see ops/pconv.py: under mixed precision the conv emits the compute
+    # dtype (separate upcast) so its VJP dtypes stay consistent
     out = lax.conv_general_dilated(
         xi, ki, (stride, stride), ((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32 if compute_dtype is None else None,
         precision=precision,
-    )
+    ).astype(jnp.float32)
     return out + bias
 
 

@@ -111,6 +111,14 @@ class PConvUNet(nn.Module):
     compute_dtype: Optional[Any] = None
     precision: Optional[Any] = "highest"
     use_pallas: bool = False
+    # rematerialize each PConv stage in the backward pass: large-batch
+    # 512^2 training otherwise stores every stage's activations and
+    # overflows HBM (SURVEY north star: jax.checkpoint for memory)
+    remat: bool = False
+
+    def _stage(self, **kwargs):
+        cls = nn.remat(PConv2d, static_argnums=(3,)) if self.remat else PConv2d
+        return cls(**kwargs)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool = False):
@@ -125,7 +133,7 @@ class PConvUNet(nn.Module):
         feats, masks = [x], [mask]
         h, m = x, mask
         for i, (f, k) in enumerate(enc_specs):
-            h, m = PConv2d(
+            h, m = self._stage(
                 features=f, kernel_size=k, stride=2, padding=k // 2,
                 compute_dtype=cd, precision=self.precision,
                 use_pallas=self.use_pallas, name=f"enc{i + 1}",
@@ -137,9 +145,9 @@ class PConvUNet(nn.Module):
         dec_widths = [8 * w, 8 * w, 8 * w, 4 * w, 2 * w, w]
         for i, f in enumerate(dec_widths):
             skip_f, skip_m = feats[6 - i], masks[6 - i]
-            dec = PConv2d(features=f, kernel_size=3, padding=1,
-                          compute_dtype=cd, precision=self.precision,
-                          use_pallas=self.use_pallas, name=f"dec{7 - i}")
+            dec = self._stage(features=f, kernel_size=3, padding=1,
+                              compute_dtype=cd, precision=self.precision,
+                              use_pallas=self.use_pallas, name=f"dec{7 - i}")
             h, m = self._decode_step(h, m, skip_f, skip_m, dec, train)
 
         # Final decode without skip (generator.py:50-57)
@@ -148,9 +156,9 @@ class PConvUNet(nn.Module):
         h = pad_to_match(h, x.shape[1], x.shape[2])
         m = pad_to_match(m, mask.shape[1], mask.shape[2])
         m = jnp.maximum(m, mask)
-        h, _ = PConv2d(features=w, kernel_size=3, padding=1,
-                       compute_dtype=cd, precision=self.precision,
-                       use_pallas=self.use_pallas, name="dec1")(h, m, train)
+        h, _ = self._stage(features=w, kernel_size=3, padding=1,
+                           compute_dtype=cd, precision=self.precision,
+                           use_pallas=self.use_pallas, name="dec1")(h, m, train)
 
         final_kernel = self.param(
             "final_kernel", torch_conv_kernel_init, (3, 3, w, 1)
@@ -161,9 +169,9 @@ class PConvUNet(nn.Module):
         out = lax.conv_general_dilated(
             hi, ki, (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32 if cd is None else None,
             precision=self.precision,
-        ) + final_bias
+        ).astype(jnp.float32) + final_bias
         out = nn.sigmoid(out)
 
         # Composite: holes from the net, valid pixels from the input

@@ -117,8 +117,10 @@ def vgg16_features(
             (1, 1),
             ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        )
+            preferred_element_type=(
+                jnp.float32 if compute_dtype is None else None
+            ),
+        ).astype(jnp.float32)
         h = jax.nn.relu(h + bias)
         if compute_dtype is not None:
             h = h.astype(compute_dtype)

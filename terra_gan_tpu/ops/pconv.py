@@ -97,15 +97,22 @@ def partial_conv2d(
         xm = xm.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
 
+    # Mixed precision: let the conv emit compute_dtype and upcast in a
+    # separate op. Forcing preferred_element_type=f32 on bf16 operands
+    # makes the conv VJP receive f32 cotangents against bf16 kernels,
+    # which lax.conv rejects (bf16 training would break); the MXU still
+    # accumulates in f32 internally either way.
     out = lax.conv_general_dilated(
         xm,
         kernel,
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=(
+            jnp.float32 if compute_dtype is None else None
+        ),
         precision=precision,
-    )
+    ).astype(jnp.float32)
 
     mask_sum = mask_window_sum(
         mask, kh, kw, stride, padding, compute_dtype=compute_dtype
@@ -161,9 +168,11 @@ def partial_conv2d_split(
             window_strides=(stride, stride),
             padding=((padding, padding), (padding, padding)),
             dimension_numbers=_DN,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=(
+                jnp.float32 if compute_dtype is None else None
+            ),
             precision=precision,
-        )
+        ).astype(jnp.float32)
         out = contrib if out is None else out + contrib
     assert offset == kernel.shape[2], "parts do not cover kernel channels"
 
