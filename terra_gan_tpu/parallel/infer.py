@@ -35,12 +35,19 @@ class BatchedInpainter:
         mesh=None,
         chunk: int = 32,
         compute_dtype: Optional[Any] = None,
+        shard_spatial: bool = False,
     ):
+        """shard_spatial additionally splits the image-height axis over
+        the mesh's "spatial" dimension — for tiles too large for one
+        chip's HBM (XLA inserts the conv halo exchanges)."""
         self.generator = generator
         self.mesh = mesh if mesh is not None else make_mesh()
         self.chunk = chunk
         self.n_dev = self.mesh.shape["data"] * self.mesh.shape["spatial"]
-        self.bshard = batch_sharding(self.mesh)
+        if not shard_spatial:
+            # with no H sharding, tiles only need to divide the data axis
+            self.n_dev = self.mesh.shape["data"]
+        self.bshard = batch_sharding(self.mesh, shard_spatial)
         self.variables = jax.device_put(variables, replicated(self.mesh))
 
         def forward(variables, images, masks):

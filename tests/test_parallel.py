@@ -119,6 +119,20 @@ class TestBatchedInference:
             )
             np.testing.assert_allclose(out[i : i + 1], want, rtol=2e-5, atol=2e-6)
 
+    def test_spatial_sharded_matches(self, models, batch):
+        """H-sharded inference (context-parallel analogue) == data-only."""
+        G, _ = models
+        state = make_state(models)
+        variables = state.generator_variables()
+        out_sp = BatchedInpainter(
+            G, variables, mesh=make_mesh(8, spatial=2), chunk=8,
+            shard_spatial=True,
+        )(batch["image"], batch["mask"])
+        out = BatchedInpainter(
+            G, variables, mesh=make_mesh(8), chunk=8
+        )(batch["image"], batch["mask"])
+        np.testing.assert_allclose(out_sp, out, rtol=1e-4, atol=1e-4)
+
     def test_ragged_tile_count(self, models, batch):
         """Tile counts that don't divide the mesh get padded + sliced back."""
         G, _ = models
