@@ -62,6 +62,9 @@ def _upsample2x_bilinear_conv(x: jnp.ndarray) -> jnp.ndarray:
     taps = jnp.array([0.25, 0.75, 0.75, 0.25], jnp.float32).astype(x.dtype)
     kern = (jnp.outer(taps, taps)[:, :, None, None]
             * jnp.ones((1, 1, 1, c), x.dtype))
+    # NOTE: padding (2,2) + crop measures FASTER than the crop-free
+    # ((0,0)) form on v5e (29.8 vs 41.6 ms model-level) — XLA picks a
+    # better tiling for the padded conv; keep the crop.
     out = lax.conv_general_dilated(
         xp, kern, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
