@@ -17,7 +17,6 @@ The parser is vectorized: header via 6 readlines, body in one
 
 from __future__ import annotations
 
-import io
 from pathlib import Path
 from typing import Dict, Optional, Tuple
 

@@ -22,7 +22,7 @@ import logging
 import queue
 import threading
 from pathlib import Path
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
 from PIL import Image

@@ -12,7 +12,7 @@ from __future__ import annotations
 import logging
 import shutil
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Tuple
 
 from ..config import Config
 

@@ -9,7 +9,6 @@ import json
 from pathlib import Path
 from typing import Dict, Optional, Tuple
 
-import numpy as np
 
 SPLIT_COLORS = {"train": "#4C72B0", "val": "#DD8452", "test": "#55A868"}
 

@@ -26,7 +26,6 @@ TPU-native design decisions vs. the reference:
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -11,10 +11,9 @@ chunk while the current one computes.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Iterable, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .mesh import batch_sharding, make_mesh, pad_to_multiple, replicated

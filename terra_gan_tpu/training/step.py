@@ -38,7 +38,6 @@ import jax.numpy as jnp
 import optax
 
 from ..losses import InpaintingLossConfig, inpainting_loss
-from ..models.vgg import VGGParams
 from .state import GANTrainState
 
 

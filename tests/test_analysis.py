@@ -2,7 +2,6 @@
 run loading/comparison/visualization."""
 
 import json
-from pathlib import Path
 
 import numpy as np
 import pytest

@@ -1,7 +1,6 @@
 """End-to-end CLI pipeline test: train -> evaluate -> human_guided_train
 on a synthetic Digimap zip (the reference's full L5 flow, SURVEY §3)."""
 
-import os
 import zipfile
 from pathlib import Path
 

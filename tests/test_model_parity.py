@@ -10,7 +10,6 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
-import jax
 import jax.numpy as jnp
 
 from terra_gan_tpu.models import Discriminator, PConvUNet

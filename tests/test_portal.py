@@ -13,7 +13,6 @@ import threading
 from email import message_from_bytes
 from email.policy import HTTP
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from pathlib import Path
 
 import numpy as np
 import pytest
@@ -24,7 +23,6 @@ from terra_gan_tpu.data.dataset import DirectMatchDataset
 from terra_gan_tpu.portal import (
     PortalClient,
     extract_tile_token,
-    fetch_annotations_for_grid,
     match_human_and_system_masks,
     upload_results,
     validate_dataset,

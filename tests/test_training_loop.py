@@ -13,7 +13,6 @@ from terra_gan_tpu.config import Config
 from terra_gan_tpu.evaluation import (
     MaskEvaluator,
     boundary_quality,
-    image_quality_metrics,
     psnr,
     ssim,
 )
