@@ -303,6 +303,12 @@ def fused_pconv_eval(
         iw += iw % 2
     if ow > _MAX_OW and not interpret:
         raise ValueError(f"ow={ow} outside pallas toolchain envelope")
+    if b > 16 and not interpret:
+        # validated envelope: at batch 32 the phase-split copies plus
+        # fp32 stage outputs alongside the lax stages tip HBM over and
+        # the custom call faults at runtime (v5e 16GB, measured);
+        # fall back to lax above batch 16
+        raise ValueError(f"batch {b} outside validated pallas envelope")
     block_bytes = ih * iw * cin * 4
     if block_bytes > _BLOCK_BUDGET or oh * ow > _MAX_M:
         if stride == 1:
