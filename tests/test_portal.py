@@ -8,11 +8,8 @@ runs without network access.
 
 import io
 import json
-import re
 import threading
-from email import message_from_bytes
-from email.policy import HTTP
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from http.server import ThreadingHTTPServer
 
 import numpy as np
 import pytest
@@ -31,112 +28,15 @@ from terra_gan_tpu.portal import (
 API_KEY = "test-key"
 
 
-class FakePortalHandler(BaseHTTPRequestHandler):
-    store = {"images": {}, "annotations": {}, "feedback": []}
-
-    def log_message(self, *args):
-        pass
-
-    def _auth_ok(self):
-        return self.headers.get("Authorization") == f"Bearer {API_KEY}"
-
-    def _json(self, obj, code=200):
-        body = json.dumps(obj).encode()
-        self.send_response(code)
-        self.send_header("Content-Type", "application/json")
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
-        self.wfile.write(body)
-
-    def do_POST(self):
-        if not self._auth_ok():
-            return self._json({"error": "unauthorized"}, 401)
-        length = int(self.headers.get("Content-Length", 0))
-        body = self.rfile.read(length)
-        if self.path.startswith("/api/upload/"):
-            grid = self.path.rsplit("/", 1)[1]
-            msg = message_from_bytes(
-                b"Content-Type: " + self.headers["Content-Type"].encode()
-                + b"\r\n\r\n" + body,
-                policy=HTTP,
-            )
-            saved = []
-            for part in msg.iter_parts():
-                name = part.get_filename()
-                if name:
-                    if not name.startswith(grid):
-                        name = f"{grid}_{name}"
-                    self.store["images"][name] = part.get_payload(decode=True)
-                    saved.append(name)
-            return self._json({"status": "success", "uploaded": saved})
-        if self.path.startswith("/api/feedback/"):
-            self.store["feedback"].append(json.loads(body))
-            return self._json({"status": "success"})
-        if self.path.startswith("/api/delete-batch/"):
-            names = json.loads(body).get("filenames", [])
-            deleted = 0
-            for n in names:
-                if self.store["annotations"].pop(n, None) is not None:
-                    deleted += 1
-            return self._json({"status": "success", "deleted": deleted})
-        self._json({"error": "not found"}, 404)
-
-    def do_GET(self):
-        if not self._auth_ok():
-            return self._json({"error": "unauthorized"}, 401)
-        m = re.match(r"/api/annotations/(\w+)", self.path)
-        if m:
-            grid = m.group(1)
-            names = [
-                n for n in self.store["annotations"]
-                if n.startswith(f"{grid}_")
-            ]
-            return self._json({"annotations": names})
-        m = re.match(r"/api/file/(.+)", self.path)
-        if m:
-            name = m.group(1)
-            blob = self.store["annotations"].get(name) or self.store[
-                "images"
-            ].get(name)
-            if blob is None:
-                return self._json({"error": "not found"}, 404)
-            self.send_response(200)
-            self.send_header("Content-Length", str(len(blob)))
-            self.end_headers()
-            self.wfile.write(blob)
-            return
-        m = re.match(r"/api/status/(\w+)", self.path)
-        if m:
-            grid = m.group(1)
-            total = len(
-                [n for n in self.store["images"] if n.startswith(f"{grid}_")]
-            )
-            ann = len(
-                [n for n in self.store["annotations"] if n.startswith(f"{grid}_")]
-            )
-            return self._json({
-                "grid_square": grid, "total_images": total,
-                "annotated_images": ann,
-                "completed": total > 0 and ann >= total,
-            })
-        self._json({"error": "not found"}, 404)
-
-    def do_DELETE(self):
-        if not self._auth_ok():
-            return self._json({"error": "unauthorized"}, 401)
-        name = self.path.rsplit("/", 1)[1]
-        if self.store["annotations"].pop(name, None) is None:
-            return self._json({"error": "not found"}, 404)
-        self._json({"status": "success"})
-
+from fake_portal import make_handler, new_store
 
 @pytest.fixture()
 def fake_portal():
-    FakePortalHandler.store = {"images": {}, "annotations": {}, "feedback": []}
-    server = ThreadingHTTPServer(("127.0.0.1", 0), FakePortalHandler)
+    store = new_store()
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(API_KEY, store))
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
-    yield f"http://127.0.0.1:{server.server_port}", FakePortalHandler.store
+    yield f"http://127.0.0.1:{server.server_port}", store
     server.shutdown()
 
 
