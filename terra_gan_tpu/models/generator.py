@@ -97,6 +97,10 @@ class PConv2d(nn.Module):
         if bn is not None:
             out = bn(out, use_running_average=not train)
         out = nn.relu(out)
+        if self.compute_dtype is not None:
+            # keep inter-stage activations in the compute dtype: the
+            # post-ReLU tensors are the largest HBM traffic in the net
+            out = out.astype(self.compute_dtype)
         return out, new_mask
 
 
