@@ -72,7 +72,9 @@ class HumanGuidedTrainer:
                 real * mask, mask, True, mutable=["batch_stats"],
             )
             total, comps = human_guided_loss(
-                gen, real, mask, batch.get("human_mask"), vgg_params, loss_cfg
+                gen, real, mask, batch.get("human_mask"), vgg_params,
+                loss_cfg,
+                compute_dtype=getattr(generator, "compute_dtype", None),
             )
             return total, (updates["batch_stats"], comps)
 

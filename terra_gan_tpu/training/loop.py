@@ -111,6 +111,7 @@ def train(
     raw_step = make_train_step(
         generator, discriminator, adam(lr), adam(lr), loss_cfg,
         jit_compile=mesh is None,
+        loss_compute_dtype=getattr(generator, "compute_dtype", None),
     )
     if mesh is not None:
         from ..parallel.mesh import shard_train_step

@@ -70,6 +70,7 @@ def make_train_step(
     loss_fn: Optional[Callable] = None,
     donate: bool = True,
     jit_compile: bool = True,
+    loss_compute_dtype=None,
 ):
     """Build the fused train step.
 
@@ -86,7 +87,8 @@ def make_train_step(
 
     base_loss = loss_fn or (
         lambda pred, target, mask, vgg, batch: inpainting_loss(
-            pred, target, mask, vgg, loss_config
+            pred, target, mask, vgg, loss_config,
+            compute_dtype=loss_compute_dtype,
         )
     )
 
