@@ -71,9 +71,9 @@ def save_tile(
     img.save(path)
 
 
-class _JitCache:
-    fn = None
-    key = None
+# jit forwards cached per generator module (flax modules are immutable
+# and hashable; an id()-keyed cache could alias after GC)
+_JIT_CACHE: Dict[Any, Any] = {}
 
 
 def evaluate(
@@ -93,13 +93,13 @@ def evaluate(
             raise ValueError("variables required with a live model")
 
     x, m = _load_pair(image_path, mask_path)
-    key = id(generator)
-    if _JitCache.fn is None or _JitCache.key != key:
-        _JitCache.fn = jax.jit(
-            lambda v, i, mk: generator.apply(v, i * mk, mk, False)
+    fwd = _JIT_CACHE.get(generator)
+    if fwd is None:
+        fwd = jax.jit(
+            lambda v, i, mk, g=generator: g.apply(v, i * mk, mk, False)
         )
-        _JitCache.key = key
-    out = np.asarray(_JitCache.fn(variables, x, m))[0, ..., 0]
+        _JIT_CACHE[generator] = fwd
+    out = np.asarray(fwd(variables, x, m))[0, ..., 0]
     save_tile(out, save_path)
     return Path(save_path)
 

@@ -110,9 +110,10 @@ class HumanGuidedTrainer:
         opt_state = tx.init(g_params)
         step_fn = self._make_step(generator, tx)
 
+        # reference keeps partial tail batches (DataLoader default)
         loader = BatchLoader(
             dataset, batch_size=hg.batch_size, shuffle=True,
-            drop_last=len(dataset) > hg.batch_size,
+            drop_last=False,
         )
         best_loss = float("inf")
         t0 = time.time()

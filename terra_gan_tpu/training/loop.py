@@ -86,9 +86,12 @@ def train(
     lr = tcfg.initial.learning_rate
 
     dataset = InpaintingDataset(img_dir, mask_dir, size=image_size)
+    # torch DataLoader default keeps the partial tail batch
+    # (train.py:75-81, drop_last unset); each distinct tail shape costs
+    # one extra jit compile, which the persistent cache absorbs
     loader = BatchLoader(
         dataset, batch_size=batch_size, shuffle=True, seed=seed,
-        drop_last=len(dataset) > batch_size,
+        drop_last=False,
     )
     val_loader = None
     if val_img_dir and val_mask_dir:
@@ -135,7 +138,6 @@ def train(
         t_epoch = time.time()
         sums: Dict[str, float] = {}
         n_batches = 0
-        pending = None  # (metrics, step_idx) kept on device
 
         for batch_idx, batch in enumerate(loader):
             dev_batch = _to_device(batch, mesh)
