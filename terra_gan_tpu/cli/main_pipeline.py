@@ -96,6 +96,8 @@ def _build_models(cfg=None, remat: bool = False):
 
     from ..models import Discriminator, PConvUNet
 
+    from ..ops.pallas.pconv_kernel import pallas_enabled
+
     dtype_name = (
         (cfg.raw.get("training") or {}).get("compute_dtype") if cfg else None
     )
@@ -103,7 +105,8 @@ def _build_models(cfg=None, remat: bool = False):
         "bf16", "bfloat16"
     ) else None
     return (
-        PConvUNet(compute_dtype=cd, precision=None, remat=remat),
+        PConvUNet(compute_dtype=cd, precision=None, remat=remat,
+                  use_pallas=pallas_enabled()),
         Discriminator(compute_dtype=cd, precision=None),
     )
 
@@ -418,6 +421,10 @@ def main(argv=None) -> int:
         "--no-tracking", action="store_true",
         help="disable experiment tracking for this run",
     )
+    parser.add_argument(
+        "--mesh", default=None, metavar="DATAxSPATIAL",
+        help="device mesh, e.g. 8 or 4x2 (data x spatial); default: no mesh",
+    )
     args = parser.parse_args(argv)
 
     setup_logging(args.debug)
@@ -428,6 +435,15 @@ def main(argv=None) -> int:
     except Exception as e:
         logger.debug("persistent compile cache unavailable: %s", e)
     cfg = _load_config(args.config)
+
+    mesh = None
+    if args.mesh:
+        from ..parallel import make_mesh
+
+        parts = [int(x) for x in args.mesh.lower().split("x")]
+        data, spatial = (parts + [1])[:2]
+        mesh = make_mesh(data * spatial, spatial=spatial)
+        logger.info("device mesh: data=%d spatial=%d", data, spatial)
 
     tracker = None
     if not args.no_tracking and cfg.experiment_tracking.enabled:
@@ -441,9 +457,11 @@ def main(argv=None) -> int:
 
     try:
         if args.mode == "train":
-            ok = run_training_mode(cfg, args.input_model, tracker)
+            ok = run_training_mode(cfg, args.input_model, tracker, mesh=mesh)
         elif args.mode == "evaluate":
-            ok = run_evaluation_mode(cfg, args.input_model, args.grid, tracker)
+            ok = run_evaluation_mode(
+                cfg, args.input_model, args.grid, tracker, mesh=mesh
+            )
         else:
             ok = run_human_guided_training_mode(
                 cfg, args.input_model, args.grid, tracker

@@ -21,7 +21,8 @@ TPU-native design decisions vs. the reference:
     tiles it onto the MXU; mask multiply and renormalization fuse
     into its prologue/epilogue.
   * An optional fused Pallas kernel lives in ops/pallas/ and is
-    selected via `terra_gan_tpu.ops.pallas.use_pallas()`.
+    selected via `PConvUNet(use_pallas=True)` or the
+    TERRA_GAN_TPU_PALLAS=1 environment flag (CLI).
 """
 
 from __future__ import annotations
