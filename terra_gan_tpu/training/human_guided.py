@@ -41,15 +41,19 @@ logger = logging.getLogger(__name__)
 
 def hg_loss_config(config: Config) -> HumanGuidedLossConfig:
     """HumanGuidedLoss DOES read the config boundary weight
-    (losses.py:139), unlike initial training."""
+    (losses.py:139), unlike initial training: the reference uses
+    `loss_weights.get('boundary', 0.5)` — an EXPLICIT 0 in the yaml
+    means 0; only a missing key falls back to 0.5."""
     lw = config.training.loss_weights
+    raw_lw = (config.raw.get("training") or {}).get("loss_weights") or {}
+    boundary = raw_lw.get("boundary", 0.5)
+    if boundary is None:
+        boundary = 0.5
     return HumanGuidedLossConfig(
         base=InpaintingLossConfig(
             perceptual_weight=lw.perceptual,
             tv_weight=lw.tv,
-            boundary_weight=config.training.loss_weights.boundary
-            if not config.training.faithful_boundary_default
-            else (lw.boundary if lw.boundary else 0.5),
+            boundary_weight=float(boundary),
         ),
         base_loss_weight=config.training.human_guided.base_loss_weight,
         human_feedback_weight=config.training.human_guided.human_feedback_weight,
