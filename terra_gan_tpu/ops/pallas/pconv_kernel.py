@@ -129,16 +129,18 @@ def _epilogue(acc, msum, b_ref, bna_ref, bnb_ref, out_ref, mout_ref,
 
 
 def _phase_split(a: jnp.ndarray) -> jnp.ndarray:
-    """[B, H, W, ...] (H, W even) -> [4, B, H/2, W/2, ...] 2x2 phases."""
-    return jnp.stack(
-        [
-            a[:, 0::2, 0::2],
-            a[:, 0::2, 1::2],
-            a[:, 1::2, 0::2],
-            a[:, 1::2, 1::2],
-        ],
-        axis=0,
-    )
+    """[B, H, W, ...] (H, W even) -> [4, B, H/2, W/2, ...] 2x2 phases.
+
+    Implemented with reshape/transpose, NOT strided-slice concat: the
+    strided form reproducibly crashes this TPU runtime at large sizes
+    (worker 'kernel fault' at batch 32 x 512^2 — measured)."""
+    b, h, w = a.shape[:3]
+    rest = a.shape[3:]
+    r = a.reshape((b, h // 2, 2, w // 2, 2) + rest)
+    # -> [2, 2, B, H/2, W/2, ...] then merge the two phase axes
+    perm = (2, 4, 0, 1, 3) + tuple(range(5, r.ndim))
+    r = r.transpose(perm)
+    return r.reshape((4, b, h // 2, w // 2) + rest)
 
 
 def _strided_strips_s1(
