@@ -305,12 +305,9 @@ def fused_pconv_eval(
         iw += iw % 2
     if ow > _MAX_OW and not interpret:
         raise ValueError(f"ow={ow} outside pallas toolchain envelope")
-    if b > 16 and not interpret:
-        # validated envelope: at batch 32 the phase-split copies plus
-        # fp32 stage outputs alongside the lax stages tip HBM over and
-        # the custom call faults at runtime (v5e 16GB, measured);
-        # fall back to lax above batch 16
-        raise ValueError(f"batch {b} outside validated pallas envelope")
+    # (an earlier batch<=16 guard was misattributed: the batch-32
+    # runtime fault was the strided-slice _phase_split, since replaced
+    # by the reshape form — batch 32 validated stable post-fix)
     block_bytes = ih * iw * cin * 4
     if block_bytes > _BLOCK_BUDGET or oh * ow > _MAX_M:
         if stride == 1:
