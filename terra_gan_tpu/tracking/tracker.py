@@ -14,9 +14,11 @@ validation.*, training.*, system.* — SURVEY §5.5), with:
   * git commit/branch tags when available (experiment_tracking.py:157-173)
 
 Backends: MLflow when importable + enabled (same tracking_uri
-semantics), else a local file store writing JSONL under ./mlruns —
-one dir per run with metrics.jsonl / params.json / tags.json /
-artifacts/ — so zero-dependency environments still record everything.
+semantics), else a zero-dependency local file store that writes the
+*MLflow file-store layout* under ./mlruns (meta.yaml + per-run
+metrics/params/tags/artifacts) so the reference's offline tooling —
+mlflow_metrics_visualizer.py, plot_research_metrics.py — reads this
+framework's runs unmodified.
 """
 
 from __future__ import annotations
@@ -52,40 +54,109 @@ def _git_info() -> Dict[str, str]:
     return out
 
 
+def _sanitize_key(name: str) -> str:
+    """Make a metric/param/tag name safe as a relative file path.
+
+    MLflow's file store uses the name as the filename; "/" nests
+    directories (allowed), but absolute/parent escapes are not.
+    """
+    name = name.replace("=", "_").replace("\x00", "_")
+    parts = [p for p in name.split("/") if p not in ("", ".", "..")]
+    return "/".join(parts) or "_"
+
+
 class FileStoreBackend:
-    """JSONL-per-run local store (no mlflow dependency)."""
+    """MLflow *file-store-layout* local store (no mlflow dependency).
+
+    Emits the exact ``mlruns/`` tree the reference's offline tooling
+    reads directly (mlflow_metrics_visualizer.py:31-80 scans
+    ``<exp>/<run>/meta.yaml`` + ``tags/`` + ``metrics/<name>`` files of
+    ``"timestamp value step"`` lines; reset_mlflow.sh:55-68 shows the
+    experiment meta.yaml shape), so those scripts work on this
+    framework's runs even when mlflow itself is absent:
+
+        <root>/<experiment>/meta.yaml
+        <root>/<experiment>/<run_id>/meta.yaml
+        <root>/<experiment>/<run_id>/metrics/<name>
+        <root>/<experiment>/<run_id>/params/<name>
+        <root>/<experiment>/<run_id>/tags/<name>      (incl. mlflow.runName)
+        <root>/<experiment>/<run_id>/artifacts/
+    """
 
     def __init__(self, root: str | Path, experiment_name: str):
+        self.experiment_name = experiment_name
         self.exp_dir = Path(root) / experiment_name
         self.exp_dir.mkdir(parents=True, exist_ok=True)
+        meta = self.exp_dir / "meta.yaml"
+        if not meta.exists():
+            now_ms = int(time.time() * 1000)
+            meta.write_text(
+                f"artifact_location: file:{self.exp_dir.resolve()}\n"
+                f"creation_time: {now_ms}\n"
+                f"experiment_id: {experiment_name}\n"
+                f"last_update_time: {now_ms}\n"
+                "lifecycle_stage: active\n"
+                f"name: {experiment_name}\n"
+            )
         self.run_dir: Optional[Path] = None
-        self._metrics_f = None
+        self._metric_files: Dict[str, Any] = {}
+
+    def _write_run_meta(self, run_id: str, run_name: str, status: str,
+                        start_ms: int, end_ms: Optional[int]) -> None:
+        artifact_uri = (self.run_dir / "artifacts").resolve()
+        self._start_ms = start_ms
+        (self.run_dir / "meta.yaml").write_text(
+            f"artifact_uri: file:{artifact_uri}\n"
+            f"end_time: {end_ms if end_ms is not None else 'null'}\n"
+            f"experiment_id: {self.experiment_name}\n"
+            "lifecycle_stage: active\n"
+            f"run_id: {run_id}\n"
+            f"run_name: {run_name}\n"
+            f"run_uuid: {run_id}\n"
+            f"start_time: {start_ms}\n"
+            f"status: {status}\n"
+            "user_id: terra_gan_tpu\n"
+        )
 
     def start_run(self, run_name: str, tags: Dict[str, str]) -> str:
-        run_id = f"{time.strftime('%Y%m%d_%H%M%S')}_{uuid.uuid4().hex[:8]}"
+        run_id = uuid.uuid4().hex  # 32-hex, like mlflow run ids
         self.run_dir = self.exp_dir / run_id
-        (self.run_dir / "artifacts").mkdir(parents=True, exist_ok=True)
-        with open(self.run_dir / "tags.json", "w") as f:
-            json.dump({**tags, "run_name": run_name}, f, indent=2)
-        self._metrics_f = open(self.run_dir / "metrics.jsonl", "a")
+        self._run_id, self._run_name = run_id, run_name
+        for sub in ("artifacts", "metrics", "params", "tags"):
+            (self.run_dir / sub).mkdir(parents=True, exist_ok=True)
+        self._write_run_meta(
+            run_id, run_name, "RUNNING", int(time.time() * 1000), None
+        )
+        for key, value in {**tags, "mlflow.runName": run_name}.items():
+            self._write_kv("tags", key, value)
         return run_id
+
+    def _write_kv(self, kind: str, key: str, value: Any) -> None:
+        path = self.run_dir / kind / _sanitize_key(key)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(str(value))
 
     def log_params(self, params: Dict[str, Any]) -> None:
         if self.run_dir is None:
             return
-        path = self.run_dir / "params.json"
-        existing = {}
-        if path.exists():
-            existing = json.loads(path.read_text())
-        existing.update({k: str(v) for k, v in params.items()})
-        path.write_text(json.dumps(existing, indent=2))
+        for k, v in params.items():
+            self._write_kv("params", k, v)
 
     def log_metrics(self, metrics: Dict[str, float], step: Optional[int]) -> None:
-        if self._metrics_f is None:
+        if self.run_dir is None:
             return
-        rec = {"ts": time.time(), "step": step, **metrics}
-        self._metrics_f.write(json.dumps(rec) + "\n")
-        self._metrics_f.flush()
+        ts_ms = int(time.time() * 1000)
+        for k, v in metrics.items():
+            if not np.isfinite(v):
+                continue  # the file store format cannot represent NaN/Inf
+            key = _sanitize_key(k)
+            f = self._metric_files.get(key)
+            if f is None:
+                path = self.run_dir / "metrics" / key
+                path.parent.mkdir(parents=True, exist_ok=True)
+                f = self._metric_files[key] = open(path, "a")
+            f.write(f"{ts_ms} {float(v)} {int(step or 0)}\n")
+            f.flush()
 
     def log_artifact(self, local_path: str | Path, name: Optional[str] = None):
         if self.run_dir is None:
@@ -96,9 +167,18 @@ class FileStoreBackend:
         shutil.copy2(local_path, dest)
 
     def end_run(self) -> None:
-        if self._metrics_f is not None:
-            self._metrics_f.close()
-            self._metrics_f = None
+        for f in self._metric_files.values():
+            f.close()
+        self._metric_files = {}
+        if self.run_dir is not None:
+            self._write_run_meta(
+                self._run_id,
+                self._run_name,
+                "FINISHED",
+                self._start_ms,
+                int(time.time() * 1000),
+            )
+            self.run_dir = None
 
 
 class MlflowBackend:

@@ -127,15 +127,13 @@ class TestTracker:
         tr.log_model({"params": {"w": jnp.ones((2, 2))}}, "best")
         tr.end_run()
 
+        # the file store emits the MLflow file-store layout
         run_dir = Path(f"{tmp_path}/mlruns/dsm_inpainting") / run_id
-        lines = [
-            json.loads(l)
-            for l in (run_dir / "metrics.jsonl").read_text().splitlines()
-        ]
-        keys = set().union(*(l.keys() for l in lines))
-        assert "epoch.g_loss" in keys and "batch.g_loss" in keys
-        assert (run_dir / "params.json").exists()
+        assert (run_dir / "metrics" / "epoch.g_loss").exists()
+        assert (run_dir / "metrics" / "batch.g_loss").exists()
+        assert (run_dir / "params" / "training.lr").read_text() == "1"
         assert (run_dir / "artifacts" / "best.npz").exists()
+        assert "status: FINISHED" in (run_dir / "meta.yaml").read_text()
 
     def test_disabled_is_noop(self):
         cfg = Config.from_dict({"experiment_tracking": {"enabled": False}})
