@@ -1,7 +1,19 @@
 """Annotation portal web server (reference: Annotation_Portal_Code/app.py).
 
-Flask app with the same endpoint surface and semantics:
-  * JWT-style bearer auth on API routes (app.py:38-55)
+Same endpoint surface and semantics as the reference Flask app, built
+as a dependency-free WSGI application (stdlib only) so it runs — and
+is tested — in environments without Flask, and can be served by any
+WSGI server in production (`python -m terra_gan_tpu.portal.server`
+uses wsgiref):
+
+  * bearer auth on API routes with the reference's JWT semantics
+    (app.py:38-55): the token must be a valid HS256 JWT signed with the
+    server secret; missing/non-Bearer header -> 401 "No API key
+    provided", invalid/expired token -> 401 "Invalid API key". A
+    plain-string api_key mode is kept as a fallback for simple
+    deployments.
+  * GET  /                             — annotator UI (static/index.html)
+  * GET  /static/<f>                   — UI assets
   * GET  /images                       — list annotatable images
   * POST /api/upload/<grid>            — multipart PNG batch upload,
     filenames prefixed with <grid>_ when missing (app.py:89-125)
@@ -15,214 +27,361 @@ Flask app with the same endpoint surface and semantics:
     (app.py:273-325)
   * POST /api/feedback/<grid>          — JSON feedback log
   * DELETE /api/delete/<grid>/<f>, POST /api/delete-batch/<grid>
-
-Flask is optional in this environment; `create_app` raises a clear
-error when it's missing, and tests drive the app through Flask's test
-client when available.
 """
 
 from __future__ import annotations
 
 import base64
+import email
+import email.policy
 import io
 import json
 import logging
 import os
+import re
 import time
 from pathlib import Path
+from typing import Callable, Dict, List, Optional, Tuple
+
+from . import jwt_auth
 
 logger = logging.getLogger(__name__)
 
+STATIC_DIR = Path(__file__).parent / "static"
+MAX_CONTENT_LENGTH = 64 * 1024 * 1024
 
-def create_app(
-    image_folder: str | Path = "static/images",
-    annotation_folder: str | Path = "static/annotations",
-    api_key: str = "",
-):
+_CONTENT_TYPES = {
+    ".png": "image/png",
+    ".jpg": "image/jpeg",
+    ".jpeg": "image/jpeg",
+    ".html": "text/html; charset=utf-8",
+    ".js": "application/javascript",
+    ".css": "text/css",
+    ".json": "application/json",
+}
+
+
+class _Response:
+    def __init__(self, status: int, body: bytes, content_type: str):
+        self.status = status
+        self.body = body
+        self.content_type = content_type
+
+
+def _json(obj, status: int = 200) -> _Response:
+    return _Response(status, json.dumps(obj).encode(), "application/json")
+
+
+def _file(path: Path) -> _Response:
+    ctype = _CONTENT_TYPES.get(path.suffix.lower(), "application/octet-stream")
+    return _Response(200, path.read_bytes(), ctype)
+
+
+_STATUS_TEXT = {
+    200: "200 OK",
+    400: "400 Bad Request",
+    401: "401 Unauthorized",
+    404: "404 Not Found",
+    405: "405 Method Not Allowed",
+    413: "413 Payload Too Large",
+    500: "500 Internal Server Error",
+}
+
+
+def _read_body(environ) -> bytes:
     try:
-        from flask import Flask, jsonify, request, send_file
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError(
-            "the annotation portal server requires Flask; install it on "
-            "the portal host (the pipeline itself never needs it)"
-        ) from e
+        length = int(environ.get("CONTENT_LENGTH") or 0)
+    except ValueError:
+        length = 0
+    if length > MAX_CONTENT_LENGTH:
+        raise _TooLarge()
+    return environ["wsgi.input"].read(length) if length else b""
 
-    image_folder = Path(image_folder)
-    annotation_folder = Path(annotation_folder)
-    image_folder.mkdir(parents=True, exist_ok=True)
-    annotation_folder.mkdir(parents=True, exist_ok=True)
 
-    app = Flask(__name__)
-    app.config["IMAGE_FOLDER"] = str(image_folder)
-    app.config["ANNOTATION_FOLDER"] = str(annotation_folder)
-    app.config["MAX_CONTENT_LENGTH"] = 64 * 1024 * 1024
+class _TooLarge(Exception):
+    pass
 
-    def authorized() -> bool:
-        if not api_key:
-            return True
-        header = request.headers.get("Authorization", "")
-        return header == f"Bearer {api_key}"
 
-    def require_key(fn):
-        from functools import wraps
+def _parse_multipart(environ) -> Dict[str, List[Tuple[str, bytes]]]:
+    """Parse multipart/form-data into {field: [(filename, bytes), ...]}."""
+    ctype = environ.get("CONTENT_TYPE", "")
+    body = _read_body(environ)
+    raw = b"Content-Type: " + ctype.encode("latin-1") + b"\r\nMIME-Version: 1.0\r\n\r\n" + body
+    msg = email.message_from_bytes(raw, policy=email.policy.HTTP)
+    fields: Dict[str, List[Tuple[str, bytes]]] = {}
+    if not msg.is_multipart():
+        return fields
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if not name:
+            continue
+        filename = part.get_filename() or ""
+        payload = part.get_payload(decode=True) or b""
+        fields.setdefault(name, []).append((filename, payload))
+    return fields
 
-        @wraps(fn)
-        def wrapper(*args, **kwargs):
-            if not authorized():
-                return jsonify({"error": "unauthorized"}), 401
-            return fn(*args, **kwargs)
 
-        return wrapper
+class PortalApp:
+    """WSGI callable implementing the annotation portal."""
 
-    @app.route("/images")
-    def list_images():
-        names = sorted(
-            f for f in os.listdir(image_folder) if f.lower().endswith(".png")
+    def __init__(
+        self,
+        image_folder: str | Path = "static/images",
+        annotation_folder: str | Path = "static/annotations",
+        api_key: str = "",
+        secret_key: str = "",
+    ):
+        self.image_folder = Path(image_folder)
+        self.annotation_folder = Path(annotation_folder)
+        self.image_folder.mkdir(parents=True, exist_ok=True)
+        self.annotation_folder.mkdir(parents=True, exist_ok=True)
+        self.api_key = api_key
+        self.secret_key = secret_key
+        # (method, compiled path regex, handler, protected)
+        self._routes: List[Tuple[str, re.Pattern, Callable, bool]] = [
+            ("GET", r"/", self._index, False),
+            ("GET", r"/static/(?P<filename>[^/]+)", self._static, False),
+            ("GET", r"/images", self._list_images, False),
+            ("POST", r"/api/upload/(?P<grid>[^/]+)", self._upload, True),
+            ("POST", r"/save_annotation", self._save_annotation, False),
+            ("GET", r"/api/annotations/(?P<grid>[^/]+)", self._list_annotations, True),
+            ("GET", r"/api/annotations-file/(?P<filename>.+)", self._annotation_file, True),
+            ("GET", r"/api/file/(?P<filename>.+)", self._raw_file, True),
+            ("GET", r"/api/status/(?P<grid>[^/]+)", self._status, True),
+            ("POST", r"/api/feedback/(?P<grid>[^/]+)", self._feedback, True),
+            ("DELETE", r"/api/delete/(?P<grid>[^/]+)/(?P<filename>.+)", self._delete, True),
+            ("POST", r"/api/delete-batch/(?P<grid>[^/]+)", self._delete_batch, True),
+        ]
+        self._compiled = [
+            (m, re.compile("^" + p + "$"), h, prot)
+            for m, p, h, prot in self._routes
+        ]
+
+    # -- auth (reference semantics, app.py:38-55) ---------------------------
+    def _authorize(self, environ) -> Optional[_Response]:
+        """Return a 401 response, or None when the request is authorized."""
+        if not self.api_key and not self.secret_key:
+            return None  # open dev mode
+        header = environ.get("HTTP_AUTHORIZATION", "")
+        if not header.startswith("Bearer "):
+            return _json({"error": "No API key provided"}, 401)
+        token = header[len("Bearer "):]
+        if self.secret_key:
+            try:
+                jwt_auth.decode(token, self.secret_key)
+                return None
+            except jwt_auth.InvalidTokenError:
+                pass  # fall through to the plain-key fallback
+        if self.api_key and token == self.api_key:
+            return None
+        return _json({"error": "Invalid API key"}, 401)
+
+    # -- WSGI entry ----------------------------------------------------------
+    def __call__(self, environ, start_response):
+        method = environ.get("REQUEST_METHOD", "GET").upper()
+        path = environ.get("PATH_INFO", "/")
+        resp = None
+        path_matched = False
+        try:
+            for m, pattern, handler, protected in self._compiled:
+                match = pattern.match(path)
+                if not match:
+                    continue
+                path_matched = True
+                if m != method:
+                    continue
+                if protected:
+                    denied = self._authorize(environ)
+                    if denied is not None:
+                        resp = denied
+                        break
+                resp = handler(environ, **match.groupdict())
+                break
+            if resp is None:
+                resp = _json(
+                    {"error": "method not allowed" if path_matched else "not found"},
+                    405 if path_matched else 404,
+                )
+        except _TooLarge:
+            resp = _json({"error": "payload too large"}, 413)
+        except Exception as e:  # log-and-500, like the reference's handlers
+            logger.exception("portal error on %s %s: %s", method, path, e)
+            resp = _json({"error": "internal error"}, 500)
+        start_response(
+            _STATUS_TEXT.get(resp.status, f"{resp.status} Error"),
+            [
+                ("Content-Type", resp.content_type),
+                ("Content-Length", str(len(resp.body))),
+            ],
         )
-        return jsonify({"images": names})
+        return [resp.body]
 
-    @app.route("/api/upload/<grid_square>", methods=["POST"])
-    @require_key
-    def upload_batch(grid_square):
-        if "files" not in request.files:
-            return jsonify({"error": "No files provided"}), 400
-        files = request.files.getlist("files")
-        if not files:
-            return jsonify({"error": "Empty files list"}), 400
+    # -- UI -------------------------------------------------------------------
+    def _index(self, environ) -> _Response:
+        index = STATIC_DIR / "index.html"
+        if index.exists():
+            return _file(index)
+        return _json({"error": "not found"}, 404)
+
+    def _static(self, environ, filename: str) -> _Response:
+        path = STATIC_DIR / Path(filename).name
+        if path.exists():
+            return _file(path)
+        return _json({"error": "not found"}, 404)
+
+    # -- endpoints -------------------------------------------------------------
+    def _list_images(self, environ) -> _Response:
+        names = sorted(
+            f for f in os.listdir(self.image_folder)
+            if f.lower().endswith(".png")
+        )
+        return _json({"images": names})
+
+    def _upload(self, environ, grid: str) -> _Response:
+        fields = _parse_multipart(environ)
+        if "files" not in fields:
+            return _json({"error": "No files provided"}, 400)
+        entries = fields["files"]
+        if not entries:
+            return _json({"error": "Empty files list"}, 400)
         saved = []
-        for f in files:
-            if not f or not f.filename:
+        for filename, payload in entries:
+            if not filename:
                 continue
-            name = f.filename
-            if not name.startswith(grid_square):
-                name = f"{grid_square}_{name}"
-            f.save(image_folder / Path(name).name)
+            name = filename
+            if not name.startswith(grid):
+                name = f"{grid}_{name}"
+            (self.image_folder / Path(name).name).write_bytes(payload)
             saved.append(name)
-        return jsonify({"status": "success", "uploaded": saved})
+        return _json({"status": "success", "uploaded": saved})
 
-    @app.route("/save_annotation", methods=["POST"])
-    def save_annotation():
+    def _save_annotation(self, environ) -> _Response:
         from PIL import Image
 
-        data = request.get_json(force=True)
+        try:
+            data = json.loads(_read_body(environ) or b"{}")
+        except json.JSONDecodeError:
+            return _json({"status": "error", "message": "bad json"}, 400)
         image_name = data.get("image_name", "")
         user_hash = data.get("user_hash", "anon")
         raw = data.get("mask", "")
         try:
             mask_bytes = base64.b64decode(raw.split(",", 1)[1])
         except (IndexError, ValueError):
-            return jsonify({"status": "error", "message": "bad mask"}), 400
+            return _json({"status": "error", "message": "bad mask"}, 400)
 
-        image_path = image_folder / Path(image_name).name
+        image_path = self.image_folder / Path(image_name).name
         if image_path.exists():
             with Image.open(image_path) as orig:
                 ow, oh = orig.size
             with Image.open(io.BytesIO(mask_bytes)) as mask_img:
                 mw, mh = mask_img.size
             if (mw, mh) != (ow, oh):
-                return (
-                    jsonify({
+                return _json(
+                    {
                         "status": "error",
                         "message": (
                             f"Mask dimensions ({mw}x{mh}) do not match "
                             f"original image ({ow}x{oh})"
                         ),
-                    }),
+                    },
                     400,
                 )
         stem = Path(image_name).stem
-        out = annotation_folder / f"{stem}_{user_hash}_mask.png"
+        out = self.annotation_folder / f"{stem}_{user_hash}_mask.png"
         out.write_bytes(mask_bytes)
-        return jsonify({"status": "success"})
+        return _json({"status": "success"})
 
-    @app.route("/api/annotations/<grid_square>")
-    @require_key
-    def list_annotations(grid_square):
+    def _list_annotations(self, environ, grid: str) -> _Response:
         names = sorted(
-            f for f in os.listdir(annotation_folder)
-            if f.endswith("_mask.png") and f.startswith(f"{grid_square}_")
+            f for f in os.listdir(self.annotation_folder)
+            if f.endswith("_mask.png") and f.startswith(f"{grid}_")
         )
-        return jsonify({"annotations": names})
+        return _json({"annotations": names})
 
-    @app.route("/api/annotations-file/<path:filename>")
-    @require_key
-    def annotation_file(filename):
-        path = annotation_folder / Path(filename).name
+    def _annotation_file(self, environ, filename: str) -> _Response:
+        path = self.annotation_folder / Path(filename).name
         if not path.exists():
-            return jsonify({"error": "not found"}), 404
-        return jsonify(
-            {"filename": path.name,
-             "content": base64.b64encode(path.read_bytes()).decode()}
+            return _json({"error": "not found"}, 404)
+        return _json(
+            {
+                "filename": path.name,
+                "content": base64.b64encode(path.read_bytes()).decode(),
+            }
         )
 
-    @app.route("/api/file/<path:filename>")
-    @require_key
-    def raw_file(filename):
-        for folder in (annotation_folder, image_folder):
+    def _raw_file(self, environ, filename: str) -> _Response:
+        for folder in (self.annotation_folder, self.image_folder):
             path = folder / Path(filename).name
             if path.exists():
-                return send_file(path)
-        return jsonify({"error": "not found"}), 404
+                return _file(path)
+        return _json({"error": "not found"}, 404)
 
-    @app.route("/api/status/<grid_square>")
-    @require_key
-    def status(grid_square):
+    def _status(self, environ, grid: str) -> _Response:
         total = len([
-            f for f in os.listdir(image_folder)
-            if f.lower().endswith(".png") and f.startswith(f"{grid_square}_")
+            f for f in os.listdir(self.image_folder)
+            if f.lower().endswith(".png") and f.startswith(f"{grid}_")
         ])
-        grid_dir = image_folder / grid_square
+        grid_dir = self.image_folder / grid
         if grid_dir.exists():
             total += len([
-                f for f in os.listdir(grid_dir)
-                if f.lower().endswith(".png")
+                f for f in os.listdir(grid_dir) if f.lower().endswith(".png")
             ])
         annotated = len([
-            f for f in os.listdir(annotation_folder)
-            if f.endswith("_mask.png") and f.startswith(f"{grid_square}_")
+            f for f in os.listdir(self.annotation_folder)
+            if f.endswith("_mask.png") and f.startswith(f"{grid}_")
         ])
-        return jsonify({
-            "grid_square": grid_square,
+        return _json({
+            "grid_square": grid,
             "total_images": total,
             "annotated_images": annotated,
             "completed": total > 0 and annotated >= total,
         })
 
-    @app.route("/api/feedback/<grid_square>", methods=["POST"])
-    @require_key
-    def feedback(grid_square):
-        payload = request.get_json(force=True)
-        log = annotation_folder / f"{grid_square}_feedback.jsonl"
+    def _feedback(self, environ, grid: str) -> _Response:
+        try:
+            payload = json.loads(_read_body(environ) or b"{}")
+        except json.JSONDecodeError:
+            return _json({"status": "error", "message": "bad json"}, 400)
+        log = self.annotation_folder / f"{grid}_feedback.jsonl"
         with open(log, "a") as f:
             f.write(json.dumps({"ts": time.time(), **payload}) + "\n")
-        return jsonify({"status": "success"})
+        return _json({"status": "success"})
 
-    @app.route("/api/delete/<grid_square>/<path:filename>", methods=["DELETE"])
-    @require_key
-    def delete_annotation(grid_square, filename):
-        path = annotation_folder / Path(filename).name
+    def _delete(self, environ, grid: str, filename: str) -> _Response:
+        path = self.annotation_folder / Path(filename).name
         if not path.exists():
-            return jsonify({"error": "not found"}), 404
+            return _json({"error": "not found"}, 404)
         path.unlink()
-        return jsonify({"status": "success", "deleted": path.name})
+        return _json({"status": "success", "deleted": path.name})
 
-    @app.route("/api/delete-batch/<grid_square>", methods=["POST"])
-    @require_key
-    def delete_batch(grid_square):
-        names = (request.get_json(force=True) or {}).get("filenames", [])
+    def _delete_batch(self, environ, grid: str) -> _Response:
+        try:
+            names = json.loads(_read_body(environ) or b"{}").get("filenames", [])
+        except json.JSONDecodeError:
+            return _json({"status": "error", "message": "bad json"}, 400)
         deleted = 0
         for name in names:
-            path = annotation_folder / Path(name).name
+            path = self.annotation_folder / Path(name).name
             if path.exists():
                 path.unlink()
                 deleted += 1
-        return jsonify({"status": "success", "deleted": deleted})
+        return _json({"status": "success", "deleted": deleted})
 
-    return app
+
+def create_app(
+    image_folder: str | Path = "static/images",
+    annotation_folder: str | Path = "static/annotations",
+    api_key: str = "",
+    secret_key: str = "",
+) -> PortalApp:
+    """Build the portal WSGI app (kept as the round-1 entry point name)."""
+    return PortalApp(image_folder, annotation_folder, api_key, secret_key)
 
 
 def main(argv=None) -> int:  # pragma: no cover - live server entry
     import argparse
+    from wsgiref.simple_server import make_server
 
     p = argparse.ArgumentParser(description="Annotation portal server")
     p.add_argument("--host", default="0.0.0.0")
@@ -230,9 +389,16 @@ def main(argv=None) -> int:  # pragma: no cover - live server entry
     p.add_argument("--images", default="static/images")
     p.add_argument("--annotations", default="static/annotations")
     p.add_argument("--api-key", default=os.environ.get("PORTAL_API_KEY", ""))
+    p.add_argument(
+        "--secret-key",
+        default=os.environ.get("PORTAL_SECRET_KEY", ""),
+        help="HS256 JWT secret (reference auth mode, app.py:38-55)",
+    )
     args = p.parse_args(argv)
-    app = create_app(args.images, args.annotations, args.api_key)
-    app.run(host=args.host, port=args.port)
+    app = create_app(args.images, args.annotations, args.api_key, args.secret_key)
+    server = make_server(args.host, args.port, app)
+    logger.info("portal serving on %s:%d", args.host, args.port)
+    server.serve_forever()
     return 0
 
 
