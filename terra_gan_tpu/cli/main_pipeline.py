@@ -423,7 +423,9 @@ def main(argv=None) -> int:
     )
     parser.add_argument(
         "--mesh", default=None, metavar="DATAxSPATIAL",
-        help="device mesh, e.g. 8 or 4x2 (data x spatial); default: no mesh",
+        help="device mesh: e.g. 8 or 4x2 (data x spatial), or 'auto' to "
+        "use all local devices with the HBM-based spatial heuristic "
+        "(parallel.mesh.auto_spatial); default: no mesh",
     )
     args = parser.parse_args(argv)
 
@@ -438,12 +440,17 @@ def main(argv=None) -> int:
 
     mesh = None
     if args.mesh:
-        from ..parallel import make_mesh
+        from ..parallel import parse_mesh_arg
 
-        parts = [int(x) for x in args.mesh.lower().split("x")]
-        data, spatial = (parts + [1])[:2]
-        mesh = make_mesh(data * spatial, spatial=spatial)
-        logger.info("device mesh: data=%d spatial=%d", data, spatial)
+        size = int((cfg.raw.get("training", {}) or {}).get("image_size", 512))
+        mesh = parse_mesh_arg(
+            args.mesh, height=size, width=size,
+            training=args.mode != "evaluate",
+        )
+        logger.info(
+            "device mesh: data=%d spatial=%d",
+            mesh.shape["data"], mesh.shape["spatial"],
+        )
 
     tracker = None
     if not args.no_tracking and cfg.experiment_tracking.enabled:

@@ -4,10 +4,12 @@ from .infer import BatchedInpainter
 from .mesh import (
     DATA_AXIS,
     SPATIAL_AXIS,
+    auto_spatial,
     batch_sharding,
     batch_spec,
     make_mesh,
     pad_to_multiple,
+    parse_mesh_arg,
     replicated,
     shard_batch,
     shard_train_step,
@@ -17,10 +19,12 @@ __all__ = [
     "BatchedInpainter",
     "DATA_AXIS",
     "SPATIAL_AXIS",
+    "auto_spatial",
     "batch_sharding",
     "batch_spec",
     "make_mesh",
     "pad_to_multiple",
+    "parse_mesh_arg",
     "replicated",
     "shard_batch",
     "shard_train_step",

@@ -51,6 +51,75 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
 
 
+# v5e chip HBM: 16 GB physical, ~15.75 GB usable (measured round 1,
+# BASELINE.md); the budget fraction leaves headroom for XLA scratch,
+# fusion temporaries and the remote-relay transfer buffers.
+HBM_BYTES_V5E = int(15.75 * 2**30)
+_HBM_BUDGET_FRACTION = 0.6
+# peak live activation footprint of the PConv U-Net per input pixel:
+# the widest full-resolution stages (enc1/dec1) carry 64 feature
+# channels, and ~6 such buffers are simultaneously live (input, enc1
+# out, its skip copy pinned until dec1, the upsampled decoder features,
+# the concat operands and the composite). Training multiplies this by
+# ~4: saved residuals for the backward pass plus the VGG perceptual
+# graph (measured: batch-16 512^2 training fills the chip, BASELINE.md).
+_EVAL_BYTES_PER_PIXEL = 64 * 4 * 6
+_TRAIN_ACTIVATION_MULTIPLIER = 4
+
+
+def auto_spatial(
+    n_devices: int,
+    height: int,
+    width: int,
+    batch_per_device: int = 1,
+    training: bool = False,
+    hbm_bytes: int = HBM_BYTES_V5E,
+) -> int:
+    """HBM-based heuristic: how many ways to shard the image H axis.
+
+    Returns the smallest power-of-two spatial factor (dividing
+    n_devices) whose per-device activation estimate fits the HBM
+    budget. 512² production tiles → 1 (no spatial sharding); the axis
+    only engages for oversized tiles (≥~4k² eval, ≥~2k² training at
+    batch 1) where one chip's HBM cannot hold the full-resolution
+    stages — SURVEY §5.7's "long context" analogue.
+    """
+    est = height * width * _EVAL_BYTES_PER_PIXEL * max(1, batch_per_device)
+    if training:
+        est *= _TRAIN_ACTIVATION_MULTIPLIER
+    budget = _HBM_BUDGET_FRACTION * hbm_bytes
+    spatial = 1
+    while est / spatial > budget:
+        nxt = spatial * 2
+        if nxt > n_devices or n_devices % nxt != 0:
+            break
+        spatial = nxt
+    return spatial
+
+
+def parse_mesh_arg(
+    spec: Optional[str],
+    height: int = 512,
+    width: int = 512,
+    batch_per_device: int = 1,
+    training: bool = False,
+) -> Optional[Mesh]:
+    """CLI --mesh value -> Mesh. Accepts "8", "4x2" (data x spatial), or
+    "auto" (all local devices, spatial chosen by the HBM heuristic)."""
+    if not spec:
+        return None
+    spec = spec.strip().lower()
+    if spec == "auto":
+        n = len(jax.devices())
+        spatial = auto_spatial(
+            n, height, width, batch_per_device, training=training
+        )
+        return make_mesh(n, spatial=spatial)
+    parts = [int(x) for x in spec.split("x")]
+    data, spatial = (parts + [1])[:2]
+    return make_mesh(data * spatial, spatial=spatial)
+
+
 def batch_spec(mesh: Mesh, shard_spatial: bool = False) -> P:
     """PartitionSpec for an NHWC batch: shard N on data, optionally H."""
     if shard_spatial and mesh.shape[SPATIAL_AXIS] > 1:
