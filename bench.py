@@ -72,9 +72,47 @@ def main() -> None:
                 "value": round(tiles_per_sec, 2),
                 "unit": "tiles/s/chip",
                 "vs_baseline": round(tiles_per_sec / REFERENCE_TILES_PER_SEC, 2),
+                "train_samples_per_sec": _train_throughput(),
             }
         )
     )
+
+
+def _train_throughput(batch: int = 16, iters: int = 10) -> float:
+    """Secondary metric: fused G+D train-step samples/s at 512^2,
+    full loss incl. VGG perceptual (VERDICT r1 item 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from terra_gan_tpu.losses import InpaintingLossConfig
+    from terra_gan_tpu.models import Discriminator, PConvUNet
+    from terra_gan_tpu.models.vgg import random_weights
+    from terra_gan_tpu.training import GANTrainState, adam, make_train_step
+
+    G = PConvUNet(compute_dtype=jnp.bfloat16, precision=None)
+    D = Discriminator(compute_dtype=jnp.bfloat16)
+    state = GANTrainState.create(
+        G, D, jax.random.PRNGKey(0), sample_shape=(batch, 512, 512, 1)
+    )
+    step = make_train_step(
+        G, D, adam(2e-4), adam(2e-4), InpaintingLossConfig(),
+        loss_compute_dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    data = {
+        "image": jnp.asarray(rng.random((batch, 512, 512, 1), dtype=np.float32)),
+        "mask": jnp.asarray(
+            (rng.random((batch, 512, 512, 1)) > 0.25).astype(np.float32)
+        ),
+    }
+    vgg = random_weights(0)
+    state, metrics = step(state, data, vgg)
+    float(metrics["g_loss"])  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, data, vgg)
+    float(metrics["g_loss"])
+    return round(batch * iters / (time.perf_counter() - t0), 2)
 
 
 if __name__ == "__main__":

@@ -133,7 +133,7 @@ def _init_master_state(cfg, input_model: Optional[str], image_size=512):
 
     from ..training import GANTrainState, adam, import_pth, resolve_checkpoint
 
-    G, D = _build_models(cfg, remat=True)
+    G, D = _build_models(cfg, remat=cfg.training.remat)
     lr = cfg.training.initial.learning_rate
     state = GANTrainState.create(
         G, D, jax.random.PRNGKey(0),

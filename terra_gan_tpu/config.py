@@ -69,6 +69,12 @@ class TrainingConfig:
     # runs at the class default 0.5; the yaml value only gates *logging*.
     # True preserves that behavior; False makes the yaml value real.
     faithful_boundary_default: bool = True
+    # Rematerialization knobs (both OFF by default: batch-16 512^2
+    # full-loss training fits one 16 GB chip without them and runs
+    # ~25% faster — measured v5e, BASELINE.md). Enable for larger
+    # single-chip batches or bigger tiles.
+    remat: bool = False
+    vgg_remat: bool = False
 
     @classmethod
     def from_dict(cls, d):
@@ -94,6 +100,8 @@ class TrainingConfig:
             faithful_boundary_default=_get(
                 d, "faithful_boundary_default", default=True
             ),
+            remat=bool(_get(d, "remat", default=False)),
+            vgg_remat=bool(_get(d, "vgg_remat", default=False)),
         )
 
     def effective_boundary_weight(self) -> float:

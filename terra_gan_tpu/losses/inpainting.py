@@ -102,6 +102,13 @@ class InpaintingLossConfig:
     tv_weight: float = 0.1
     boundary_weight: float = 0.5  # reference default (losses.py:14); see SURVEY §2.1
     vgg_normalize: bool = False  # reference feeds raw [0,1]x3 into VGG
+    # rematerialize VGG activations in the backward pass. True trades
+    # ~1 extra VGG forward (~19 ms/step at batch 16 512^2, measured
+    # v5e) for ~1.6 GB of stored activations; the VGG weights are
+    # frozen, so its backward only needs ReLU signs, not weight grads.
+    # Off by default — batch-16 512^2 full-loss training fits 16 GB
+    # HBM without it; enable for memory-constrained shapes.
+    vgg_remat: bool = False
 
 
 def inpainting_loss(
@@ -124,14 +131,21 @@ def inpainting_loss(
         # remat: VGG activations at 512^2 dominate training HBM (the
         # conv1 feature map alone is batch*512^2*64 floats); recompute
         # them in the backward pass instead of storing them.
-        vgg_fn = jax.checkpoint(
-            lambda img: vgg16_features(
-                img, vgg_params, compute_dtype=compute_dtype,
+        vgg_fn = lambda img: vgg16_features(  # noqa: E731
+            img, vgg_params, compute_dtype=compute_dtype,
+            normalize=config.vgg_normalize,
+        )
+        if config.vgg_remat:
+            vgg_fn = jax.checkpoint(vgg_fn)
+        feat_pred = vgg_fn(pred)
+        # no gradient flows into the target branch (target is data), so
+        # it never benefits from remat — keep it a plain forward
+        feat_target = jax.lax.stop_gradient(
+            vgg16_features(
+                target, vgg_params, compute_dtype=compute_dtype,
                 normalize=config.vgg_normalize,
             )
         )
-        feat_pred = vgg_fn(pred)
-        feat_target = vgg_fn(target)
         comps["perceptual"] = l1_loss(feat_pred, feat_target)
         total = total + config.perceptual_weight * comps["perceptual"]
 

@@ -104,7 +104,23 @@ def vgg16_features(
 
     Returns the conv3_3 post-ReLU activation map [B, H/4, W/4, 256] fp32.
     """
-    if x.shape[-1] == 1:
+    params = list(params)
+    if (
+        x.shape[-1] == 1
+        and params[0][0].shape[2] == 3
+        and compute_dtype is not None
+        and not normalize
+    ):
+        # perf mode: conv(repeat3(x), W) == conv(x, sum_cin W) — fold
+        # the channel repeat into conv1_1 (sum in fp32; one bf16
+        # rounding of the summed kernel instead of three products);
+        # skips materializing the 3x-repeated 512^2 tensor entirely.
+        # Parity mode (compute_dtype None) keeps the literal repeat.
+        k0, b0 = params[0]
+        params[0] = (
+            jnp.sum(k0.astype(jnp.float32), axis=2, keepdims=True), b0
+        )
+    elif x.shape[-1] == 1:
         x = jnp.repeat(x, 3, axis=-1)
     if normalize:
         x = (x - IMAGENET_MEAN) / IMAGENET_STD

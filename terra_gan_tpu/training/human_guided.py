@@ -54,6 +54,7 @@ def hg_loss_config(config: Config) -> HumanGuidedLossConfig:
             perceptual_weight=lw.perceptual,
             tv_weight=lw.tv,
             boundary_weight=float(boundary),
+            vgg_remat=config.training.vgg_remat,
         ),
         base_loss_weight=config.training.human_guided.base_loss_weight,
         human_feedback_weight=config.training.human_guided.human_feedback_weight,

@@ -42,6 +42,7 @@ def loss_config_for_initial_training(cfg: TrainingConfig) -> InpaintingLossConfi
         perceptual_weight=cfg.loss_weights.perceptual,
         tv_weight=cfg.loss_weights.tv,
         boundary_weight=cfg.effective_boundary_weight(),
+        vgg_remat=cfg.vgg_remat,
     )
 
 

@@ -66,7 +66,11 @@ def profile_fn(
 def device_op_summary(
     logdir: str | Path, top: int = 25
 ) -> List[Tuple[str, float]]:
-    """Top device ops by accumulated duration (ms) from a trace dir."""
+    """Top device ops by accumulated duration (ms) from a trace dir.
+
+    Keys are "<op name> | <source attribution>" when the trace carries
+    HLO metadata (args.long_name / args.source) — that is what maps an
+    XLA fusion back to the model stage that emitted it."""
     durations: Dict[str, float] = {}
     for fp in glob.glob(
         str(Path(logdir) / "**" / "*.trace.json.gz"), recursive=True
@@ -76,5 +80,9 @@ def device_op_summary(
         for ev in data.get("traceEvents", []):
             if ev.get("ph") == "X" and "dur" in ev:
                 name = ev.get("name", "")
+                args = ev.get("args") or {}
+                meta = args.get("long_name") or args.get("source") or ""
+                if meta:
+                    name = f"{name} | {meta}"
                 durations[name] = durations.get(name, 0.0) + ev["dur"] / 1000.0
     return sorted(durations.items(), key=lambda kv: -kv[1])[:top]

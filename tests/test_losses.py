@@ -111,6 +111,29 @@ class TestVGGFeatures:
         assert got.shape == want.shape == (1, 16, 16, 256)
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
+    def test_folded_1ch_conv_matches_repeat(self):
+        """Perf mode folds the channel repeat into conv1_1
+        (conv(repeat3(x), W) == conv(x, sum_cin W)); must match the
+        explicit-repeat path within bf16 rounding."""
+        params = random_weights(seed=3)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.random((2, 64, 64, 1), dtype=np.float32))
+
+        folded = np.asarray(
+            vgg16_features(x, params, compute_dtype=jnp.bfloat16)
+        )
+        explicit = np.asarray(
+            vgg16_features(
+                jnp.repeat(x, 3, axis=-1), params,
+                compute_dtype=jnp.bfloat16,
+            )
+        )
+        ref = np.asarray(vgg16_features(x, params))  # fp32 repeat path
+        scale = np.abs(ref).max()
+        assert np.abs(folded - explicit).max() / scale < 2e-2
+        # both bf16 variants sit within bf16 tolerance of fp32
+        assert np.abs(folded - ref).max() / scale < 3e-2
+
 
 class TestComposite:
     def test_inpainting_loss_components(self, batch):
