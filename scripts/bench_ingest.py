@@ -1,22 +1,23 @@
-"""Ingestion throughput bench: zip -> DSM PNGs + detector masks + splits.
+"""Host-ingest throughput benchmark: zip -> DSM PNGs + detector masks.
 
-SURVEY §3.1 hot loop #1 is the reference's per-tile OpenCV mask
-generation, which runs strictly sequentially (zip_handler.py:69). This
-framework threads it (data/ingest.py) and backs the .asc parse with
-native C++ (native/terra_io.cpp). This bench builds a synthetic
-parent grid (10x10 = 100 child tiles, 500x500 DSM / RGB at --rgb-size)
-and measures end-to-end ingest tiles/s, sequential (reference
-behavior) vs threaded, so BASELINE.md can record the win.
+SURVEY §3.1 identifies the per-tile OpenCV mask generation loop as the
+reference's CPU hot loop #1 — it runs strictly sequentially
+(reference: utils/zip_handler.py:69). This repo threads it
+(data/ingest.py) and parses .asc through the native C++ fast path
+(native/terra_io.cpp). This script builds a synthetic 10x10-tile
+parent grid at realistic sizes (DSM 500x500 .asc; RGB at --rgb px,
+Digimap native is 4000) and measures end-to-end ingest tiles/s at
+workers=1 (the reference's execution model) vs --workers.
 
-Usage: python scripts/bench_ingest.py [--tiles 100] [--rgb-size 2000]
-         [--workers 8] [--skip-sequential]
+Usage: python scripts/bench_ingest.py [--tiles 100] [--rgb 2000]
+           [--workers 8] [--keep]
+Prints one JSON line per run plus a summary comparison.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-import os
 import shutil
 import sys
 import tempfile
@@ -24,51 +25,38 @@ import time
 import zipfile
 from pathlib import Path
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 import numpy as np
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-def build_synthetic_zip(root: Path, n_tiles: int, rgb_size: int) -> Path:
-    """10x10 OS grid of synthetic DSM .asc + RGB .jpg pairs, zipped."""
-    import cv2
+import cv2
 
-    rng = np.random.default_rng(0)
+from terra_gan_tpu.config import Config
+from terra_gan_tpu.data.asc import write_asc
+from terra_gan_tpu.data.ingest import ingest_zip
+from terra_gan_tpu.data.splitting import GeographicalSplitter
+
+
+def build_zip(root: Path, n_side: int, rgb_px: int) -> Path:
+    """Synthetic Digimap parent zip: n_side^2 tiles of DSM + RGB."""
+    rng = np.random.default_rng(7)
     src = root / "src"
-    dsm_dir = src / "getmapping-dsm-2000_0001"
-    rgb_dir = src / "getmapping_rgb_25cm_0001"
-    dsm_dir.mkdir(parents=True)
-    rgb_dir.mkdir(parents=True)
-
-    side = int(np.ceil(np.sqrt(n_tiles)))
-    count = 0
-    for x in range(side):
-        for y in range(side):
-            if count >= n_tiles:
-                break
-            child = f"ns{x:02d}{y:02d}"
-            # 500x500 native 2 m DSM with terrain-like low-frequency relief
-            base = rng.uniform(0, 60, (25, 25)).astype(np.float32)
-            dem = cv2.resize(base, (500, 500), interpolation=cv2.INTER_CUBIC)
-            header = (
-                "ncols 500\nnrows 500\nxllcorner 0\nyllcorner 0\n"
-                "cellsize 2.0\nNODATA_value -9999\n"
-            )
-            body = "\n".join(
-                " ".join(f"{v:.2f}" for v in row) for row in dem
-            )
-            (dsm_dir / f"{child}_DSM.asc").write_text(header + body + "\n")
-            # aerial-like RGB: green field + grey road strokes
-            img = np.full((rgb_size, rgb_size, 3), (40, 120, 60), np.uint8)
-            noise = rng.integers(-20, 20, img.shape, dtype=np.int16)
-            img = np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
-            for _ in range(4):
-                p0 = tuple(int(v) for v in rng.integers(0, rgb_size, 2))
-                p1 = tuple(int(v) for v in rng.integers(0, rgb_size, 2))
-                cv2.line(img, p0, p1, (128, 128, 128), rgb_size // 100)
-            cv2.imwrite(str(rgb_dir / f"{child}_rgb.jpg"), img)
-            count += 1
-
+    dsm = src / "getmapping-dsm-2000_1234"
+    rgb = src / "getmapping_rgb_25cm_1234"
+    dsm.mkdir(parents=True)
+    rgb.mkdir(parents=True)
+    # structured aerial-like RGB so the detectors do real work: green
+    # patches (vegetation), bright lines (roads), textured fields
+    yy, xx = np.mgrid[0:rgb_px, 0:rgb_px]
+    for x in range(n_side):
+        for y in range(n_side):
+            name = f"ns{x:02d}{y:02d}"
+            elev = rng.uniform(0, 120, (500, 500))
+            write_asc(dsm / f"{name}_DSM.asc", elev)
+            img = rng.integers(60, 120, (rgb_px, rgb_px, 3), dtype=np.uint8)
+            img[(yy // 97 + xx // 83) % 5 == 0] = (40, 140, 50)  # green
+            img[np.abs(yy - xx) % 211 < 3] = (180, 180, 178)  # road-ish
+            cv2.imwrite(str(rgb / f"{name}_rgb.jpg"), img)
     zip_path = root / "NS00.zip"
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
         for p in src.rglob("*"):
@@ -78,59 +66,61 @@ def build_synthetic_zip(root: Path, n_tiles: int, rgb_size: int) -> Path:
     return zip_path
 
 
-def run_ingest(zip_path: Path, work_root: Path, max_workers: int) -> float:
-    from terra_gan_tpu.config import Config
-    from terra_gan_tpu.data.ingest import ingest_zip
-    from terra_gan_tpu.data.splitting import GeographicalSplitter
-
-    cfg = Config.from_dict({})
-    cfg.data.raw_dir = str(work_root / "raw")
-    cfg.data.processed_dir = str(work_root / "processed")
-    cfg.data.output_dir = str(work_root / "output")
+def run_once(zip_path: Path, root: Path, tag: str, workers: int) -> dict:
+    work = root / f"work_{tag}"
+    cfg = Config.from_dict({
+        "data": {
+            "raw_dir": str(work / "raw"),
+            "processed_dir": str(work / "processed"),
+            "output_dir": str(work / "output"),
+            "models_dir": str(work / "models"),
+        },
+        "mask_processing": {"visualization": {"enabled": False}},
+    })
     splitter = GeographicalSplitter("NS00", Path(cfg.data.processed_dir))
     t0 = time.perf_counter()
     ok = ingest_zip(zip_path, "NS00", cfg, splitter=splitter,
-                    max_workers=max_workers)
+                    max_workers=workers)
     dt = time.perf_counter() - t0
-    assert ok
     n = len(splitter.tiles)
-    shutil.rmtree(work_root, ignore_errors=True)
-    return n / dt
+    rec = {
+        "metric": f"ingest_tiles_per_sec_w{workers}",
+        "value": round(n / dt, 2),
+        "unit": "tiles/s",
+        "tiles": n,
+        "seconds": round(dt, 2),
+        "ok": bool(ok),
+    }
+    print(json.dumps(rec))
+    shutil.rmtree(work, ignore_errors=True)
+    return rec
 
 
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--tiles", type=int, default=100)
-    p.add_argument("--rgb-size", type=int, default=2000)
+    p.add_argument("--rgb", type=int, default=2000)
     p.add_argument("--workers", type=int, default=8)
-    p.add_argument("--skip-sequential", action="store_true")
+    p.add_argument("--keep", action="store_true")
     args = p.parse_args()
+    n_side = int(round(args.tiles ** 0.5))
 
-    tmp = Path(tempfile.mkdtemp(prefix="bench_ingest_"))
+    root = Path(tempfile.mkdtemp(prefix="ingest_bench_"))
     try:
         t0 = time.perf_counter()
-        zip_path = build_synthetic_zip(tmp, args.tiles, args.rgb_size)
-        print(f"built {args.tiles}-tile synthetic zip "
+        zip_path = build_zip(root, n_side, args.rgb)
+        print(f"# built {n_side * n_side}-tile zip "
               f"({zip_path.stat().st_size / 1e6:.0f} MB) "
               f"in {time.perf_counter() - t0:.1f}s")
-
-        seq = None
-        if not args.skip_sequential:
-            seq = run_ingest(zip_path, tmp / "run_seq", max_workers=1)
-            print(f"sequential (reference behavior): {seq:.2f} tiles/s")
-        par = run_ingest(zip_path, tmp / "run_par", max_workers=args.workers)
-        print(json.dumps({
-            "metric": "ingest_tiles_per_sec",
-            "value": round(par, 2),
-            "unit": "tiles/s",
-            "workers": args.workers,
-            "rgb_size": args.rgb_size,
-            "tiles": args.tiles,
-            "sequential_tiles_per_sec": round(seq, 2) if seq else None,
-            "speedup_vs_sequential": round(par / seq, 2) if seq else None,
-        }))
+        seq = run_once(zip_path, root, "seq", workers=1)
+        par = run_once(zip_path, root, "par", workers=args.workers)
+        speedup = par["value"] / max(seq["value"], 1e-9)
+        print(f"# threaded ingest speedup: {speedup:.2f}x "
+              f"({seq['value']} -> {par['value']} tiles/s, "
+              f"rgb={args.rgb}px, workers={args.workers})")
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if not args.keep:
+            shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":

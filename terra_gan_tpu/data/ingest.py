@@ -23,6 +23,7 @@ cv2/PIL release the GIL so this scales to physical cores.
 from __future__ import annotations
 
 import logging
+import os
 import re
 import shutil
 import zipfile
@@ -85,9 +86,16 @@ def ingest_zip(
     config: Config,
     mask_pipeline: Optional[MaskPipeline] = None,
     splitter: Optional[GeographicalSplitter] = None,
-    max_workers: int = 8,
+    max_workers: Optional[int] = None,
 ) -> bool:
-    """Full zip -> tiles -> masks -> registered grid ingestion."""
+    """Full zip -> tiles -> masks -> registered grid ingestion.
+
+    max_workers defaults to min(8, host cores) — measured on a 1-core
+    host, an oversized pool costs ~20% (scripts/bench_ingest.py), so
+    the pool never exceeds the cores available.
+    """
+    if max_workers is None:
+        max_workers = max(1, min(8, os.cpu_count() or 1))
     parent_grid = parent_grid.upper()
     pm = PathManager(config)
     paths = pm.create_parent_structure(parent_grid)
