@@ -34,7 +34,9 @@ def main() -> None:
 
     from terra_gan_tpu.models import PConvUNet
 
-    batch = 32  # measured sweet spot (593 tiles/s vs 551 at batch 16)
+    batch = 128  # measured sweet spot: 620 t/s @32 -> 1035 t/s @128; 192 OOMs
+    # 16 GB HBM (BASELINE.md r2 batch sweep). Grid-scale inference (10x10-tile
+    # parents) makes ~100-tile batches the production shape.
     shape = (batch, 512, 512, 1)
     generator = PConvUNet(compute_dtype=jnp.bfloat16, precision=None)
 

@@ -24,6 +24,8 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--variants", default="")
+    p.add_argument("--profile", action="store_true",
+                   help="trace the last selected variant, print top ops")
     args = p.parse_args()
 
     import jax
@@ -211,7 +213,220 @@ def main() -> None:
         o = jax.nn.sigmoid(of)
         return o * (1.0 - xm) + x * xm
 
-    variants = {"v0": v0, "v1": v1, "v2": v2, "v3": v3, "v4": v4}
+    def v5(d, dm):
+        """EXACT space-to-depth tail: the whole tail on the 256 grid.
+
+        out[2i+p, 2j+q] channels live as S2D phase blocks; the 2x
+        upsample becomes elementwise phase combos (no interleave), dec1
+        becomes four 2x2 convs with K=1040 (one per output phase,
+        zero-structure exact), the final conv one 3x3-coarse cout=4
+        conv, and the only interleave is the 1-channel un-S2D at the
+        very end. Exact semantics everywhere including borders: edge-
+        padded d reproduces bilinear clamping; coarse zero-padding
+        reproduces the 512-grid conv zero padding through V=0.
+        """
+        f32 = jnp.float32
+        cdt = d.dtype
+
+        def ps4(a):  # [B,512,512,1] -> {(p,q): [B,256,256,1]}
+            b_, h_, w_, c_ = a.shape
+            r = a.reshape(b_, h_ // 2, 2, w_ // 2, 2, c_)
+            return {(p, q): r[:, :, p, :, q, :] for p in (0, 1)
+                    for q in (0, 1)}
+
+        PQ = [(p, q) for p in (0, 1) for q in (0, 1)]
+        xm_p, x_p = ps4(xm), ps4(x)
+        m_p = {pq: jnp.maximum(dm, xm_p[pq]) for pq in PQ}
+
+        # U phases + mask multiply + x*m skip channels, all elementwise
+        dp = jnp.pad(d, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+        taps = {0: ((0, 0.25), (1, 0.75)), 1: ((1, 0.75), (2, 0.25))}
+        blocks = []
+        for p, q in PQ:
+            u = None
+            for oy, wy in taps[p]:
+                for ox, wx in taps[q]:
+                    t = dp[:, oy : oy + 256, ox : ox + 256, :] * cdt.type(
+                        wy * wx
+                    )
+                    u = t if u is None else u + t
+            blocks.append(u * m_p[(p, q)].astype(cdt))
+        for p, q in PQ:
+            blocks.append((x_p[(p, q)] * m_p[(p, q)]).astype(cdt))
+        V = jnp.concatenate(blocks, axis=-1)  # [B,256,256,260]
+
+        # renorm ratio per phase from the 512-grid box-sum
+        msum512 = mask_window_sum(
+            jnp.maximum(upsample2x_nearest(dm), xm), 3, 3, 1, 1,
+            compute_dtype=jnp.bfloat16,
+        )
+        ms_p = ps4(msum512.astype(f32))
+
+        # dec1: one 2x2 conv per output phase (K = 2*2*260 = 1040)
+        km = np.asarray(k_main, np.float32)
+        ks = np.asarray(k_skip, np.float32)
+        dec_p = {}
+        for p, q in PQ:
+            K = np.zeros((2, 2, 260, 64), np.float32)
+            for ky in range(3):
+                r = p + ky - 1
+                dy, py = r // 2, r % 2
+                a = dy - (-1 if p == 0 else 0)
+                for kx in range(3):
+                    s = q + kx - 1
+                    dx, px = s // 2, s % 2
+                    b2 = dx - (-1 if q == 0 else 0)
+                    ch = (py * 2 + px) * 64
+                    K[a, b2, ch : ch + 64, :] += km[ky, kx]
+                    K[a, b2, 256 + py * 2 + px, :] += ks[ky, kx, 0]
+            pad_y = (1, 0) if p == 0 else (0, 1)
+            pad_x = (1, 0) if q == 0 else (0, 1)
+            o = lax.conv_general_dilated(
+                V, jnp.asarray(K).astype(cdt), (1, 1), (pad_y, pad_x),
+                dimension_numbers=DN,
+            ).astype(f32)
+            msum_pq = ms_p[(p, q)]
+            ratio = jnp.where(msum_pq > 0, 9.0 / (msum_pq + 1e-8), 0.0)
+            hpq = (o + bias) * ratio
+            hpq = hpq * bn_a + bn_b
+            dec_p[(p, q)] = jnp.maximum(hpq, 0.0).astype(cdt)
+        D = jnp.concatenate([dec_p[pq] for pq in PQ], axis=-1)
+
+        # final conv: one 3x3-coarse conv, cout = 4 output phases
+        kf = np.asarray(k_fin, np.float32)
+        KF = np.zeros((3, 3, 256, 4), np.float32)
+        for oi, (p, q) in enumerate(PQ):
+            for ky in range(3):
+                r = p + ky - 1
+                dy, py = r // 2, r % 2
+                for kx in range(3):
+                    s = q + kx - 1
+                    dx, px = s // 2, s % 2
+                    ch = (py * 2 + px) * 64
+                    KF[dy + 1, dx + 1, ch : ch + 64, oi] += kf[ky, kx, :, 0]
+        f4 = lax.conv_general_dilated(
+            D, jnp.asarray(KF).astype(cdt), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=DN,
+        ).astype(f32) + b_fin
+        o4 = jax.nn.sigmoid(f4)
+        xm4 = jnp.concatenate([xm_p[pq] for pq in PQ], axis=-1)
+        x4 = jnp.concatenate([x_p[pq] for pq in PQ], axis=-1)
+        y4 = o4 * (1.0 - xm4) + x4 * xm4
+
+        # un-S2D the 1-channel composite
+        y = y4.reshape(B, 256, 256, 2, 2)
+        y = y.transpose(0, 1, 3, 2, 4).reshape(B, 512, 512, 1)
+        return y
+
+    def v6(d, dm):
+        """v5 without the giant concat: split convs per input phase
+        block, skip conv as an elementwise phase stencil, epilogue fed
+        by the conv sum (fusable)."""
+        f32 = jnp.float32
+        cdt = d.dtype
+
+        def ps4(a):
+            b_, h_, w_, c_ = a.shape
+            r = a.reshape(b_, h_ // 2, 2, w_ // 2, 2, c_)
+            return {(p, q): r[:, :, p, :, q, :] for p in (0, 1)
+                    for q in (0, 1)}
+
+        PQ = [(p, q) for p in (0, 1) for q in (0, 1)]
+        xm_p, x_p = ps4(xm), ps4(x)
+        m_p = {pq: jnp.maximum(dm, xm_p[pq]) for pq in PQ}
+
+        dp = jnp.pad(d, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+        taps = {0: ((0, 0.25), (1, 0.75)), 1: ((1, 0.75), (2, 0.25))}
+        Vb, XVb = {}, {}
+        for p, q in PQ:
+            u = None
+            for oy, wy in taps[p]:
+                for ox, wx in taps[q]:
+                    t = dp[:, oy : oy + 256, ox : ox + 256, :] * cdt.type(
+                        wy * wx
+                    )
+                    u = t if u is None else u + t
+            Vb[(p, q)] = u * m_p[(p, q)].astype(cdt)
+            XVb[(p, q)] = (x_p[(p, q)] * m_p[(p, q)]).astype(f32)
+
+        msum512 = mask_window_sum(
+            jnp.maximum(upsample2x_nearest(dm), xm), 3, 3, 1, 1,
+            compute_dtype=jnp.bfloat16,
+        )
+        ms_p = ps4(msum512.astype(f32))
+
+        km = np.asarray(k_main, np.float32)
+        ks = np.asarray(k_skip, np.float32)
+        # pre-assemble per (output phase, input phase) 2x2 kernels and
+        # per-output-phase skip stencils on the padded skip planes
+        dec_p = {}
+        for p, q in PQ:
+            Ks = {pq: np.zeros((2, 2, 64, 64), np.float32) for pq in PQ}
+            skt = []  # (input phase, oy, ox, weight vector)
+            for ky in range(3):
+                r = p + ky - 1
+                dy, py = r // 2, r % 2
+                a = dy - (-1 if p == 0 else 0)
+                for kx in range(3):
+                    s = q + kx - 1
+                    dx, px = s // 2, s % 2
+                    b2 = dx - (-1 if q == 0 else 0)
+                    Ks[(py, px)][a, b2] += km[ky, kx]
+                    skt.append(((py, px), dy, dx, ks[ky, kx, 0]))
+            pad_y = (1, 0) if p == 0 else (0, 1)
+            pad_x = (1, 0) if q == 0 else (0, 1)
+            o = None
+            for pq in PQ:
+                c = lax.conv_general_dilated(
+                    Vb[pq], jnp.asarray(Ks[pq]).astype(cdt), (1, 1),
+                    (pad_y, pad_x), dimension_numbers=DN,
+                )
+                o = c if o is None else o + c
+            # skip contribution: shifted 1-channel planes x weight vecs
+            sk = None
+            for pq, dy, dx, wv in skt:
+                pl = jnp.pad(
+                    XVb[pq][..., 0], ((0, 0), (1, 1), (1, 1))
+                )[:, 1 + dy : 257 + dy, 1 + dx : 257 + dx]
+                t = pl[..., None] * jnp.asarray(wv)
+                sk = t if sk is None else sk + t
+            msum_pq = ms_p[(p, q)]
+            ratio = jnp.where(msum_pq > 0, 9.0 / (msum_pq + 1e-8), 0.0)
+            hpq = (o.astype(f32) + sk + bias) * ratio
+            hpq = hpq * bn_a + bn_b
+            dec_p[(p, q)] = jnp.maximum(hpq, 0.0).astype(cdt)
+
+        kf = np.asarray(k_fin, np.float32)
+        f4 = None
+        for oi, (p, q) in enumerate(PQ):
+            pass
+        # final conv as 4 split convs over the phase blocks (cout=4)
+        KFb = {pq: np.zeros((3, 3, 64, 4), np.float32) for pq in PQ}
+        for oi, (p, q) in enumerate(PQ):
+            for ky in range(3):
+                r = p + ky - 1
+                dy, py = r // 2, r % 2
+                for kx in range(3):
+                    s = q + kx - 1
+                    dx, px = s // 2, s % 2
+                    KFb[(py, px)][dy + 1, dx + 1, :, oi] += kf[ky, kx, :, 0]
+        for pq in PQ:
+            c = lax.conv_general_dilated(
+                dec_p[pq], jnp.asarray(KFb[pq]).astype(cdt), (1, 1),
+                ((1, 1), (1, 1)), dimension_numbers=DN,
+            )
+            f4 = c if f4 is None else f4 + c
+        f4 = f4.astype(f32) + b_fin
+        o4 = jax.nn.sigmoid(f4)
+        xm4 = jnp.concatenate([xm_p[pq] for pq in PQ], axis=-1)
+        x4 = jnp.concatenate([x_p[pq] for pq in PQ], axis=-1)
+        y4 = o4 * (1.0 - xm4) + x4 * xm4
+        y = y4.reshape(B, 256, 256, 2, 2)
+        y = y.transpose(0, 1, 3, 2, 4).reshape(B, 512, 512, 1)
+        return y
+
+    variants = {"v0": v0, "v1": v1, "v2": v2, "v3": v3, "v4": v4,
+                "v5": v5, "v6": v6}
     pick = args.variants.split(",") if args.variants else list(variants)
 
     ref = None
@@ -234,6 +449,19 @@ def main() -> None:
                 np.abs(a[:, 4:-4, 4:-4] - ref[:, 4:-4, 4:-4]).max()
             )
         print(f"{name}: {ms:7.2f} ms  interior-maxdiff={diff:.2e}  sum={s:.1f}")
+
+    if args.profile:
+        import shutil
+
+        from terra_gan_tpu.utils.profiling import device_op_summary, trace
+
+        shutil.rmtree("/tmp/tgt_exp_tail", ignore_errors=True)
+        with trace("/tmp/tgt_exp_tail"):
+            for _ in range(5):
+                out = fn(d, dm)
+            float(jnp.sum(out))
+        for nm, ms in device_op_summary("/tmp/tgt_exp_tail", top=20):
+            print(f"{ms / 5:9.3f} ms  {nm[:120]}")
 
 
 if __name__ == "__main__":

@@ -111,7 +111,11 @@ def inpaint_directory(
     masks_dir: str | Path,
     output_dir: str | Path,
     mesh=None,
-    chunk: int = 32,
+    # single-chip throughput rises monotonically with batch up to the
+    # HBM limit: 620 t/s @32 -> 1035 t/s @128 on v5e; 192 OOMs 16 GB
+    # (BASELINE.md r2 batch sweep). Multi-chip meshes shard the chunk,
+    # so larger values amortize further there too.
+    chunk: int = 128,
     model_size: int = MODEL_SIZE,
     out_size: int = OUTPUT_SIZE,
     io_workers: int = 8,

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 from flax import linen as nn
@@ -48,6 +49,9 @@ class PConv2d(nn.Module):
     compute_dtype: Optional[Any] = None
     precision: Optional[Any] = "highest"
     use_pallas: bool = False
+    # auto mode: stage is on the measured allowlist; the kernel engages
+    # only at batch sizes where it beats lax (stage_bench.py, r2)
+    pallas_auto: bool = False
 
     @nn.compact
     def __call__(self, x, mask: jnp.ndarray, train: bool):
@@ -64,7 +68,16 @@ class PConv2d(nn.Module):
         )
         bn = TorchBatchNorm(name="bn") if self.use_batch_norm else None
 
-        if self.use_pallas and not train and bn is not None:
+        from ..ops.pallas.pconv_kernel import PALLAS_AUTO_MAX_BATCH
+
+        pallas_on = self.use_pallas or (
+            self.pallas_auto
+            and parts[0].shape[0] <= PALLAS_AUTO_MAX_BATCH
+            # auto mode is a TPU-measured win; never engage it on the
+            # CPU backend (tests / virtual meshes / dryruns)
+            and jax.default_backend() != "cpu"
+        )
+        if pallas_on and not train and bn is not None:
             from ..ops.pallas.pconv_kernel import fused_pconv_eval
 
             # declare BN variables (identical tree) and read their values
@@ -115,12 +128,22 @@ class PConvUNet(nn.Module):
     compute_dtype: Optional[Any] = None
     precision: Optional[Any] = "highest"
     use_pallas: bool = False
+    # measured per-stage kernel allowlist (None -> the env-gated
+    # default from ops/pallas/pconv_kernel.pallas_stage_allowlist)
+    pallas_stages: Optional[frozenset] = None
     # rematerialize each PConv stage in the backward pass: large-batch
     # 512^2 training otherwise stores every stage's activations and
     # overflows HBM (SURVEY north star: jax.checkpoint for memory)
     remat: bool = False
 
     def _stage(self, **kwargs):
+        from ..ops.pallas.pconv_kernel import pallas_stage_allowlist
+
+        stages = (
+            self.pallas_stages if self.pallas_stages is not None
+            else pallas_stage_allowlist()
+        )
+        kwargs.setdefault("pallas_auto", kwargs.get("name") in stages)
         cls = nn.remat(PConv2d, static_argnums=(3,)) if self.remat else PConv2d
         return cls(**kwargs)
 

@@ -59,6 +59,27 @@ def pallas_enabled(default: bool = False) -> bool:
     return v.lower() in ("1", "true", "yes")
 
 
+# Per-stage A/B at real eval shapes (scripts/stage_bench.py, v5e r2):
+# the fused kernel beats lax only on enc5/enc6 and only at batch <= 16
+# (enc5 1.10 vs 1.39 ms, enc6 1.00 vs 1.06 at batch 16; every covered
+# stage loses at batch 32). The default model therefore auto-enables
+# the kernel exactly there — measured allowlist, measured batch gate.
+DEFAULT_STAGE_ALLOWLIST = frozenset({"enc5", "enc6"})
+PALLAS_AUTO_MAX_BATCH = 16
+
+
+def pallas_stage_allowlist() -> frozenset:
+    """Stage names that take the kernel by default (auto mode).
+
+    TERRA_GAN_TPU_PALLAS=0 disables auto mode entirely; =1 force-
+    enables the kernel on every in-envelope stage (PConvUNet
+    use_pallas), unrelated to this allowlist."""
+    v = os.environ.get("TERRA_GAN_TPU_PALLAS")
+    if v is not None and v.lower() in ("0", "false", "no"):
+        return frozenset()
+    return DEFAULT_STAGE_ALLOWLIST
+
+
 def _pick_tile(total: int, limit: int) -> int:
     t = min(total, limit)
     while total % t:

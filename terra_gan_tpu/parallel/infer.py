@@ -32,7 +32,7 @@ class BatchedInpainter:
         generator,
         variables: Dict[str, Any],
         mesh=None,
-        chunk: int = 32,
+        chunk: int = 128,  # measured v5e sweet spot (BASELINE.md r2 batch sweep)
         compute_dtype: Optional[Any] = None,
         shard_spatial: bool = False,
     ):

@@ -112,3 +112,61 @@ def test_model_with_pallas_flag_matches(monkeypatch):
     o2 = pall.apply(variables, x * m, m, False)
     err = float(jnp.max(jnp.abs(o1 - o2)))
     assert err < 1e-4, err
+
+
+class TestAutoStageSelection:
+    """Measured per-stage allowlist wiring (r2: enc5/enc6, batch<=16)."""
+
+    def test_default_allowlist_env_gate(self, monkeypatch):
+        from terra_gan_tpu.ops.pallas.pconv_kernel import (
+            DEFAULT_STAGE_ALLOWLIST, pallas_stage_allowlist,
+        )
+
+        monkeypatch.delenv("TERRA_GAN_TPU_PALLAS", raising=False)
+        assert pallas_stage_allowlist() == DEFAULT_STAGE_ALLOWLIST
+        monkeypatch.setenv("TERRA_GAN_TPU_PALLAS", "0")
+        assert pallas_stage_allowlist() == frozenset()
+        monkeypatch.setenv("TERRA_GAN_TPU_PALLAS", "1")
+        assert pallas_stage_allowlist() == DEFAULT_STAGE_ALLOWLIST
+
+    def test_auto_mode_inert_on_cpu(self):
+        """Default model (auto allowlist) == explicit-off model on the
+        CPU backend: the TPU-measured auto path must never engage."""
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.random((2, 64, 64, 1), dtype=np.float32))
+        m = jnp.asarray((rng.random((2, 64, 64, 1)) > 0.3).astype(np.float32))
+        auto = PConvUNet(base_width=16)
+        off = PConvUNet(base_width=16, pallas_stages=frozenset())
+        variables = auto.init(jax.random.PRNGKey(0), x, m, False)
+        o1 = auto.apply(variables, x * m, m, False)
+        o2 = off.apply(variables, x * m, m, False)
+        assert float(jnp.max(jnp.abs(o1 - o2))) == 0.0
+
+    def test_auto_mode_engages_kernel(self, monkeypatch):
+        """With the cpu guard and batch gate satisfied, allowlisted
+        stages call the fused kernel (interpret-mode spy)."""
+        import terra_gan_tpu.models.generator as gen_mod
+        from terra_gan_tpu.ops.pallas import pconv_kernel
+
+        calls = []
+        orig = pconv_kernel.fused_pconv_eval
+
+        def spy(*args, **kwargs):
+            calls.append(args[0].shape)
+            kwargs["interpret"] = True
+            return orig(*args, **kwargs)
+
+        monkeypatch.setattr(pconv_kernel, "fused_pconv_eval", spy)
+        monkeypatch.setattr(gen_mod.jax, "default_backend", lambda: "tpu")
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.random((1, 64, 64, 1), dtype=np.float32))
+        m = jnp.asarray((rng.random((1, 64, 64, 1)) > 0.3).astype(np.float32))
+        auto = PConvUNet(base_width=16)
+        variables = auto.init(jax.random.PRNGKey(0), x, m, False)
+        base = PConvUNet(base_width=16, pallas_stages=frozenset()).apply(
+            variables, x * m, m, False
+        )
+        out = auto.apply(variables, x * m, m, False)
+        assert calls, "allowlisted stages should hit the kernel"
+        assert float(jnp.max(jnp.abs(out - base))) < 1e-4
