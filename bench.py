@@ -80,7 +80,7 @@ def main() -> None:
     )
 
 
-def _train_throughput(batch: int = 16, iters: int = 10) -> float:
+def _train_throughput(batch: int = 16, iters: int = 20) -> float:
     """Secondary metric: fused G+D train-step samples/s at 512^2,
     full loss incl. VGG perceptual (VERDICT r1 item 3)."""
     import jax
@@ -108,8 +108,9 @@ def _train_throughput(batch: int = 16, iters: int = 10) -> float:
         ),
     }
     vgg = random_weights(0)
-    state, metrics = step(state, data, vgg)
-    float(metrics["g_loss"])  # compile + sync
+    for _ in range(3):  # compile + steady-state warmup
+        state, metrics = step(state, data, vgg)
+    float(metrics["g_loss"])
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, data, vgg)
