@@ -75,9 +75,55 @@ def main() -> None:
                 "unit": "tiles/s/chip",
                 "vs_baseline": round(tiles_per_sec / REFERENCE_TILES_PER_SEC, 2),
                 "train_samples_per_sec": _train_throughput(),
+                "grid_e2e_tiles_per_sec": _grid_e2e(generator, variables),
             }
         )
     )
+
+
+def _grid_e2e(generator, variables, n_tiles: int = 100) -> float:
+    """Whole-parent-grid inference incl. host PNG decode/encode: the
+    reference's evaluate-mode unit of work (10x10 child tiles,
+    main_pipeline.py:497-539) measured end-to-end with the host IO
+    overlapped against the device batches (parallel/infer.py)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import cv2
+
+    from terra_gan_tpu.evaluation.inference import inpaint_directory
+
+    root = Path(tempfile.mkdtemp(prefix="bench_grid_"))
+    rng = np.random.default_rng(1)
+    (root / "images").mkdir()
+    (root / "masks").mkdir()
+    for i in range(n_tiles):
+        name = f"ns{i // 10:02d}{i % 10:02d}"
+        cv2.imwrite(
+            str(root / "images" / f"{name}.png"),
+            rng.integers(0, 255, (500, 500), dtype=np.uint8),
+        )
+        cv2.imwrite(
+            str(root / "masks" / f"{name}_mask_resized.png"),
+            (rng.random((500, 500)) > 0.25).astype(np.uint8) * 255,
+        )
+    try:
+        # warm the sharded-forward compile out of the timed region
+        inpaint_directory(
+            generator, variables, root / "images", root / "masks",
+            root / "warm",
+        )
+        t0 = time.perf_counter()
+        outs = inpaint_directory(
+            generator, variables, root / "images", root / "masks",
+            root / "out",
+        )
+        dt = time.perf_counter() - t0
+        assert len(outs) == n_tiles
+        return round(n_tiles / dt, 2)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _train_throughput(batch: int = 16, iters: int = 20) -> float:

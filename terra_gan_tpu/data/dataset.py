@@ -175,7 +175,15 @@ class BatchLoader:
         def producer():
             try:
                 for b in batches:
-                    q.put(self._collate([self.dataset[int(i)] for i in b]))
+                    try:
+                        items = [self.dataset[int(i)] for i in b]
+                        q.put(self._collate(items))
+                    except Exception as e:
+                        # skip the bad batch, keep the epoch going —
+                        # the reference logs and continues per batch
+                        # (train.py:268-270); without this, one corrupt
+                        # tile would silently end the whole epoch
+                        logger.error("batch load failed, skipping: %s", e)
             finally:
                 q.put(SENTINEL)
 

@@ -62,8 +62,11 @@ def _load_pair(
 def save_tile(
     array01: np.ndarray, path: str | Path, out_size: int = OUTPUT_SIZE
 ) -> None:
-    """[H,W] float in [0,1] -> uint8 PNG resized to out_size."""
-    u8 = (np.clip(array01, 0.0, 1.0) * 255.0).astype(np.uint8)
+    """[H,W] float in [0,1] (or pre-quantized uint8) -> PNG at out_size."""
+    if array01.dtype == np.uint8:
+        u8 = array01  # already device-quantized (parallel/infer.py)
+    else:
+        u8 = (np.clip(array01, 0.0, 1.0) * 255.0).astype(np.uint8)
     img = Image.fromarray(u8, mode="L")
     if out_size and img.size != (out_size, out_size):
         img = img.resize((out_size, out_size), Image.BILINEAR)
@@ -151,7 +154,12 @@ def inpaint_directory(
     images = np.concatenate([x for x, _ in loaded], axis=0)
     masks = np.concatenate([m for _, m in loaded], axis=0)
 
-    inpainter = BatchedInpainter(generator, variables, mesh=mesh, chunk=chunk)
+    # quantize on device: the host only ever writes uint8 PNGs, and
+    # fetching 1 byte/px instead of 4 relieves the device->host link
+    # (the e2e bottleneck — BASELINE.md r2 grid-e2e analysis)
+    inpainter = BatchedInpainter(
+        generator, variables, mesh=mesh, chunk=chunk, quantize_uint8=True
+    )
     outputs = inpainter(images, masks)
 
     def write(i: int) -> Path:

@@ -35,10 +35,19 @@ class BatchedInpainter:
         chunk: int = 128,  # measured v5e sweet spot (BASELINE.md r2 batch sweep)
         compute_dtype: Optional[Any] = None,
         shard_spatial: bool = False,
+        quantize_uint8: bool = False,
     ):
         """shard_spatial additionally splits the image-height axis over
         the mesh's "spatial" dimension — for tiles too large for one
-        chip's HBM (XLA inserts the conv halo exchanges)."""
+        chip's HBM (XLA inserts the conv halo exchanges).
+
+        quantize_uint8 performs the PNG uint8 quantization
+        (clip(0,1)*255, truncating cast — bit-identical to
+        evaluation.inference.save_tile's host conversion) on device, so
+        the host fetches 1 byte/px instead of 4. Device->host bandwidth
+        bounds grid-scale e2e throughput on PCIe hosts and utterly
+        dominates on this environment's relay tunnel (8 MB/s fetch,
+        BASELINE.md)."""
         self.generator = generator
         self.mesh = mesh if mesh is not None else make_mesh()
         self.chunk = chunk
@@ -51,6 +60,10 @@ class BatchedInpainter:
 
         def forward(variables, images, masks):
             out = generator.apply(variables, images * masks, masks, False)
+            if quantize_uint8:
+                import jax.numpy as jnp
+
+                out = (jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
             return out
 
         self._forward = jax.jit(

@@ -141,8 +141,14 @@ def train(
         n_batches = 0
 
         for batch_idx, batch in enumerate(loader):
-            dev_batch = _to_device(batch, mesh)
-            state, metrics = step_fn(state, dev_batch, vgg_params)
+            try:
+                dev_batch = _to_device(batch, mesh)
+                state, metrics = step_fn(state, dev_batch, vgg_params)
+            except Exception as e:
+                # reference behavior: log and skip the failed batch,
+                # never abort the epoch (train.py:268-270)
+                logger.error("batch %d failed, skipping: %s", batch_idx, e)
+                continue
             n_batches += 1
             # accumulate on device; fetch lazily
             for k in ("g_loss", "d_loss", "real_loss", "fake_loss"):

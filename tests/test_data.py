@@ -200,6 +200,20 @@ class TestDatasets:
         loader2 = BatchLoader(ds, batch_size=2, drop_last=True)
         assert all(b["image"].shape[0] == 2 for b in loader2)
 
+    def test_batch_loader_skips_corrupt_tile(self, tmp_path):
+        """One corrupt PNG skips its batch, not the epoch (reference
+        behavior: train.py:268-270 logs and continues per batch)."""
+        img_dir, mask_dir = self._make_pair_dirs(tmp_path, n=6)
+        (img_dir / "t2.png").write_bytes(b"not a png at all")
+        ds = InpaintingDataset(img_dir, mask_dir, size=32)
+        loader = BatchLoader(ds, batch_size=2, shuffle=False)
+        batches = list(loader)
+        # 3 batches scheduled; the one containing t2 is skipped
+        assert len(batches) == 2
+        assert all(b["image"].shape == (2, 32, 32, 1) for b in batches)
+        # a clean re-iteration still works (fresh producer thread)
+        assert len(list(loader)) == 2
+
 
 class TestMaskProcessing:
     def _synthetic_aerial(self, size=256):

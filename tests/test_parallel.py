@@ -135,6 +135,23 @@ class TestBatchedInference:
         )(batch["image"], batch["mask"])
         np.testing.assert_allclose(out_sp, out, rtol=1e-4, atol=1e-4)
 
+    def test_device_quantize_matches_host(self, models, batch):
+        """quantize_uint8=True fetches uint8 bit-identical to the host
+        save_tile conversion of the float output."""
+        G, _ = models
+        state = make_state(models)
+        variables = state.generator_variables()
+        mesh = make_mesh(8)
+        outf = BatchedInpainter(G, variables, mesh=mesh, chunk=8)(
+            batch["image"], batch["mask"]
+        )
+        outq = BatchedInpainter(
+            G, variables, mesh=mesh, chunk=8, quantize_uint8=True
+        )(batch["image"], batch["mask"])
+        assert outq.dtype == np.uint8
+        host = (np.clip(outf, 0.0, 1.0) * 255.0).astype(np.uint8)
+        np.testing.assert_array_equal(outq, host)
+
     def test_ragged_tile_count(self, models, batch):
         """Tile counts that don't divide the mesh get padded + sliced back."""
         G, _ = models

@@ -264,6 +264,27 @@ class TestTrainLoop:
         assert (tmp_path / "checkpoint_epoch_0").exists()
         assert int(result["state"].step) == 2 * 2  # 2 epochs x 2 batches
 
+    def test_epoch_survives_corrupt_tile(self, tmp_path):
+        """A corrupt tile skips its batch only; the epoch and the run
+        complete on the remaining data (reference train.py:268-270)."""
+        make_dirs(tmp_path)
+        (tmp_path / "train" / "images" / "t1.png").write_bytes(b"garbage")
+        cfg = tiny_config(tmp_path, epochs=1)
+        G, D = PConvUNet(base_width=8), Discriminator(base_width=8)
+        result = train(
+            tmp_path / "train" / "images",
+            tmp_path / "train" / "masks",
+            G, D,
+            checkpoint_path=tmp_path / "master_checkpoint.pth",
+            config=cfg,
+            image_size=64,
+        )
+        assert result["final_epoch"] == 0
+        # shuffle decides whether t1 shares a batch with one or two
+        # clean tiles; at least one clean batch must have trained
+        assert int(result["state"].step) >= 1
+        assert np.isfinite(result["best_train_loss"])
+
 
 class TestHumanGuided:
     def test_fine_tune(self, tmp_path):
