@@ -67,18 +67,23 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     tiles_per_sec = batch * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "inpaint_512_tiles_per_sec",
-                "value": round(tiles_per_sec, 2),
-                "unit": "tiles/s/chip",
-                "vs_baseline": round(tiles_per_sec / REFERENCE_TILES_PER_SEC, 2),
-                "train_samples_per_sec": _train_throughput(),
-                "grid_e2e_tiles_per_sec": _grid_e2e(generator, variables),
-            }
-        )
-    )
+    rec = {
+        "metric": "inpaint_512_tiles_per_sec",
+        "value": round(tiles_per_sec, 2),
+        "unit": "tiles/s/chip",
+        "vs_baseline": round(tiles_per_sec / REFERENCE_TILES_PER_SEC, 2),
+    }
+    # secondary metrics must never take down the headline record
+    for key, fn in (
+        ("train_samples_per_sec", _train_throughput),
+        ("grid_e2e_tiles_per_sec", lambda: _grid_e2e(generator, variables)),
+    ):
+        try:
+            rec[key] = fn()
+        except Exception as e:  # pragma: no cover - defensive
+            rec[key] = None
+            rec[f"{key}_error"] = str(e)[:120]
+    print(json.dumps(rec))
 
 
 def _grid_e2e(generator, variables, n_tiles: int = 100) -> float:

@@ -398,8 +398,6 @@ def main() -> None:
 
         kf = np.asarray(k_fin, np.float32)
         f4 = None
-        for oi, (p, q) in enumerate(PQ):
-            pass
         # final conv as 4 split convs over the phase blocks (cout=4)
         KFb = {pq: np.zeros((3, 3, 64, 4), np.float32) for pq in PQ}
         for oi, (p, q) in enumerate(PQ):

@@ -294,7 +294,6 @@ def fused_decoder_tail(
     mo_str = _strips(mop, th, 2, edge=False)
     # strip the stacked planes: [B, 6, R, w] -> [B*S, 6, th+4, w]
     def _strips6(a):
-        bb, six, r, ww = a.shape
         at = a.transpose(0, 2, 1, 3)  # [B, R, 6, w]
         st = _strips(at, th, 2, edge=False)  # [B*S, th+4, 6, w]
         return st.transpose(0, 2, 1, 3)
