@@ -32,7 +32,7 @@ import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
@@ -142,9 +142,14 @@ class InpaintService:
                 jnp.ones((1, size, size, 1)),
                 False,
             )
-        self._fwd = jax.jit(
-            lambda v, x, m: self.generator.apply(v, x * m, m, False)
-        )
+        def _forward(v, x, m):
+            out = self.generator.apply(v, x * m, m, False)
+            # PNG uint8 quantization on device: the host fetches
+            # 1 byte/px instead of 4 (bit-identical to the host
+            # conversion; same trick as parallel/infer.py)
+            return (jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+        self._fwd = jax.jit(_forward)
         # warm the compile cache for every batch size bucket we emit
         self._buckets = sorted({1, max(1, max_batch // 4), max_batch})
         self.batcher = MicroBatcher(self._infer, max_batch=max_batch)
@@ -202,7 +207,10 @@ class InpaintService:
     def encode_output(self, array01: np.ndarray) -> str:
         from PIL import Image
 
-        u8 = (np.clip(array01[..., 0], 0, 1) * 255).astype(np.uint8)
+        if array01.dtype == np.uint8:
+            u8 = array01[..., 0]  # device-quantized
+        else:
+            u8 = (np.clip(array01[..., 0], 0, 1) * 255).astype(np.uint8)
         img = Image.fromarray(u8)
         if self.out_size and img.size != (self.out_size, self.out_size):
             img = img.resize((self.out_size, self.out_size), Image.BILINEAR)
