@@ -60,23 +60,31 @@ def pallas_enabled(default: bool = False) -> bool:
 
 
 # Per-stage A/B at real eval shapes (scripts/stage_bench.py, v5e r2):
-# the fused kernel beats lax only on enc5/enc6 and only at batch <= 16
-# (enc5 1.10 vs 1.39 ms, enc6 1.00 vs 1.06 at batch 16; every covered
-# stage loses at batch 32). The default model therefore auto-enables
-# the kernel exactly there — measured allowlist, measured batch gate.
-DEFAULT_STAGE_ALLOWLIST = frozenset({"enc5", "enc6"})
+# ISOLATED, the fused kernel beats lax only on enc5/enc6 and only at
+# batch <= 16 (enc5 1.10 vs 1.39 ms, enc6 1.00 vs 1.06; every covered
+# stage loses at batch 32). IN-MODEL even those wins evaporate — the
+# kernel call breaks XLA's fusion of the stage with its neighbours and
+# the model-level A/B is a wash (27.07 vs 27.19 ms at batch 16, r2).
+# The allowlist therefore defaults OFF and is opt-in via
+# TERRA_GAN_TPU_PALLAS=auto; the measured-win stages are kept here as
+# the set that mode enables.
+MEASURED_STAGE_WINS = frozenset({"enc5", "enc6"})
+# kept as the (empty) default so callers can express "framework
+# default" as None -> pallas_stage_allowlist()
+DEFAULT_STAGE_ALLOWLIST = frozenset()
 PALLAS_AUTO_MAX_BATCH = 16
 
 
 def pallas_stage_allowlist() -> frozenset:
-    """Stage names that take the kernel by default (auto mode).
+    """Stage names that take the kernel in the default model.
 
-    TERRA_GAN_TPU_PALLAS=0 disables auto mode entirely; =1 force-
-    enables the kernel on every in-envelope stage (PConvUNet
-    use_pallas), unrelated to this allowlist."""
-    v = os.environ.get("TERRA_GAN_TPU_PALLAS")
-    if v is not None and v.lower() in ("0", "false", "no"):
-        return frozenset()
+    TERRA_GAN_TPU_PALLAS=auto enables the measured-win stages
+    (enc5/enc6, batch<=16); =1 force-enables the kernel on every
+    in-envelope stage (PConvUNet use_pallas — CLI wiring), =0/unset
+    leaves the lax path everywhere (the measured model-level best)."""
+    v = (os.environ.get("TERRA_GAN_TPU_PALLAS") or "").lower()
+    if v == "auto":
+        return MEASURED_STAGE_WINS
     return DEFAULT_STAGE_ALLOWLIST
 
 

@@ -119,15 +119,17 @@ class TestAutoStageSelection:
 
     def test_default_allowlist_env_gate(self, monkeypatch):
         from terra_gan_tpu.ops.pallas.pconv_kernel import (
-            DEFAULT_STAGE_ALLOWLIST, pallas_stage_allowlist,
+            MEASURED_STAGE_WINS, pallas_stage_allowlist,
         )
 
+        # default: OFF (model-level A/B is a wash — BASELINE.md r2)
         monkeypatch.delenv("TERRA_GAN_TPU_PALLAS", raising=False)
-        assert pallas_stage_allowlist() == DEFAULT_STAGE_ALLOWLIST
+        assert pallas_stage_allowlist() == frozenset()
         monkeypatch.setenv("TERRA_GAN_TPU_PALLAS", "0")
         assert pallas_stage_allowlist() == frozenset()
-        monkeypatch.setenv("TERRA_GAN_TPU_PALLAS", "1")
-        assert pallas_stage_allowlist() == DEFAULT_STAGE_ALLOWLIST
+        # opt-in: the measured-win stages
+        monkeypatch.setenv("TERRA_GAN_TPU_PALLAS", "auto")
+        assert pallas_stage_allowlist() == MEASURED_STAGE_WINS
 
     def test_auto_mode_inert_on_cpu(self):
         """Default model (auto allowlist) == explicit-off model on the
@@ -162,7 +164,8 @@ class TestAutoStageSelection:
         rng = np.random.default_rng(7)
         x = jnp.asarray(rng.random((1, 64, 64, 1), dtype=np.float32))
         m = jnp.asarray((rng.random((1, 64, 64, 1)) > 0.3).astype(np.float32))
-        auto = PConvUNet(base_width=16)
+        from terra_gan_tpu.ops.pallas.pconv_kernel import MEASURED_STAGE_WINS
+        auto = PConvUNet(base_width=16, pallas_stages=MEASURED_STAGE_WINS)
         variables = auto.init(jax.random.PRNGKey(0), x, m, False)
         base = PConvUNet(base_width=16, pallas_stages=frozenset()).apply(
             variables, x * m, m, False
