@@ -149,10 +149,21 @@ def inpaint_directory(
     if not pairs:
         return []
 
+    def load_or_none(p):
+        try:
+            return _load_pair(*p, size=model_size)
+        except Exception as e:
+            # reference behavior: skip the bad tile, keep the grid
+            # going (main_pipeline.py:528-530)
+            logger.error("tile %s failed to load, skipping: %s", p[0].stem, e)
+            return None
+
     with ThreadPoolExecutor(max_workers=io_workers) as pool:
-        loaded = list(
-            pool.map(lambda p: _load_pair(*p, size=model_size), pairs)
-        )
+        loaded = list(pool.map(load_or_none, pairs))
+    pairs = [p for p, ld in zip(pairs, loaded) if ld is not None]
+    loaded = [ld for ld in loaded if ld is not None]
+    if not loaded:
+        return []
     images = np.concatenate([x for x, _ in loaded], axis=0)
     masks = np.concatenate([m for _, m in loaded], axis=0)
 
