@@ -442,7 +442,7 @@ def main(argv=None) -> int:
     if args.mesh:
         from ..parallel import parse_mesh_arg
 
-        size = int((cfg.raw.get("training", {}) or {}).get("image_size", 512))
+        size = _image_size(cfg)  # data.image_size, 512 default
         mesh = parse_mesh_arg(
             args.mesh, height=size, width=size,
             training=args.mode != "evaluate",

@@ -173,18 +173,28 @@ class BatchLoader:
         SENTINEL = object()
 
         def producer():
+            last_err = None
+            produced = 0
             try:
                 for b in batches:
                     try:
                         items = [self.dataset[int(i)] for i in b]
                         q.put(self._collate(items))
+                        produced += 1
                     except Exception as e:
                         # skip the bad batch, keep the epoch going —
                         # the reference logs and continues per batch
                         # (train.py:268-270); without this, one corrupt
                         # tile would silently end the whole epoch
                         logger.error("batch load failed, skipping: %s", e)
+                        last_err = e
             finally:
+                if batches and produced == 0 and last_err is not None:
+                    # EVERY batch failed: systematic (all files bad /
+                    # collate shape mismatch), not a per-tile skip —
+                    # surface it in the consumer instead of yielding
+                    # a silent empty epoch
+                    q.put(("__error__", last_err))
                 q.put(SENTINEL)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -193,5 +203,10 @@ class BatchLoader:
             item = q.get()
             if item is SENTINEL:
                 break
+            if isinstance(item, tuple) and item and item[0] == "__error__":
+                t.join()
+                raise RuntimeError(
+                    "every batch failed to load"
+                ) from item[1]
             yield item
         t.join()

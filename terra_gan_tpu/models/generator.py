@@ -73,9 +73,10 @@ class PConv2d(nn.Module):
         pallas_on = self.use_pallas or (
             self.pallas_auto
             and parts[0].shape[0] <= PALLAS_AUTO_MAX_BATCH
-            # auto mode is a TPU-measured win; never engage it on the
-            # CPU backend (tests / virtual meshes / dryruns)
-            and jax.default_backend() != "cpu"
+            # auto mode is a TPU-measured win; only engage it on TPU
+            # backends (never CPU tests/virtual meshes, never GPU
+            # where the Mosaic kernel cannot lower)
+            and jax.default_backend() == "tpu"
         )
         if pallas_on and not train and bn is not None:
             from ..ops.pallas.pconv_kernel import fused_pconv_eval

@@ -137,8 +137,8 @@ class PortalApp:
         self.annotation_folder.mkdir(parents=True, exist_ok=True)
         self.api_key = api_key
         self.secret_key = secret_key
-        # (method, compiled path regex, handler, protected)
-        self._routes: List[Tuple[str, re.Pattern, Callable, bool]] = [
+        # (method, path pattern, handler, protected) — compiled once
+        routes = [
             ("GET", r"/", self._index, False),
             ("GET", r"/static/(?P<filename>[^/]+)", self._static, False),
             ("GET", r"/images", self._list_images, False),
@@ -154,7 +154,7 @@ class PortalApp:
         ]
         self._compiled = [
             (m, re.compile("^" + p + "$"), h, prot)
-            for m, p, h, prot in self._routes
+            for m, p, h, prot in routes
         ]
 
     # -- auth (reference semantics, app.py:38-55) ---------------------------

@@ -119,6 +119,12 @@ class FileStoreBackend:
         )
 
     def start_run(self, run_name: str, tags: Dict[str, str]) -> str:
+        # close any handles left from a previous run on this backend:
+        # they point into the OLD run's metrics/ dir and would silently
+        # receive the new run's appends
+        for f in self._metric_files.values():
+            f.close()
+        self._metric_files = {}
         run_id = uuid.uuid4().hex  # 32-hex, like mlflow run ids
         self.run_dir = self.exp_dir / run_id
         self._run_id, self._run_name = run_id, run_name

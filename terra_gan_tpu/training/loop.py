@@ -140,6 +140,7 @@ def train(
         sums: Dict[str, float] = {}
         n_batches = 0
 
+        last_err: Optional[Exception] = None
         for batch_idx, batch in enumerate(loader):
             try:
                 dev_batch = _to_device(batch, mesh)
@@ -148,6 +149,7 @@ def train(
                 # reference behavior: log and skip the failed batch,
                 # never abort the epoch (train.py:268-270)
                 logger.error("batch %d failed, skipping: %s", batch_idx, e)
+                last_err = e
                 continue
             n_batches += 1
             # accumulate on device; fetch lazily
@@ -165,6 +167,15 @@ def train(
                 )
 
         if n_batches == 0:
+            if epoch == 0 and last_err is not None:
+                # every single batch failed on the very first epoch:
+                # that is a systematic error (OOM, compile failure,
+                # broken loss setup), not a bad tile — surface it
+                # instead of "succeeding" with no training
+                raise RuntimeError(
+                    "training made no progress: every batch of the "
+                    "first epoch failed"
+                ) from last_err
             logger.warning("no batches in epoch %d", epoch)
             continue
         epoch_metrics = {k: float(v) / n_batches for k, v in sums.items()}

@@ -214,6 +214,17 @@ class TestDatasets:
         # a clean re-iteration still works (fresh producer thread)
         assert len(list(loader)) == 2
 
+    def test_batch_loader_raises_when_all_batches_fail(self, tmp_path):
+        """Systematic failure (every tile bad) must surface, not yield
+        a silent empty epoch."""
+        img_dir, mask_dir = self._make_pair_dirs(tmp_path, n=4)
+        for p in img_dir.glob("*.png"):
+            p.write_bytes(b"broken")
+        ds = InpaintingDataset(img_dir, mask_dir, size=32)
+        loader = BatchLoader(ds, batch_size=2, shuffle=False)
+        with pytest.raises(RuntimeError, match="every batch failed"):
+            list(loader)
+
 
 class TestMaskProcessing:
     def _synthetic_aerial(self, size=256):

@@ -156,3 +156,22 @@ class TestReferenceVisualizerOracle:
         # end-to-end: the reference renders a plot from our store
         out = viz.plot_metric("epoch.g_loss", run_type="training_runs")
         assert out is not None and Path(out).exists()
+
+
+class TestBackToBackRuns:
+    def test_second_run_gets_own_metric_files(self, tmp_path):
+        """start_run without end_run must not leak the previous run's
+        open metric handles into the new run (crash-recovery case)."""
+        from terra_gan_tpu.tracking.tracker import FileStoreBackend
+
+        b = FileStoreBackend(str(tmp_path / "mlruns"), "exp")
+        r1 = b.start_run("one", {})
+        b.log_metrics({"m": 1.0}, step=0)
+        r2 = b.start_run("two", {})  # no end_run: simulated crash
+        b.log_metrics({"m": 2.0}, step=0)
+        b.end_run()
+        root = tmp_path / "mlruns" / "exp"
+        m1 = (root / r1 / "metrics" / "m").read_text().strip().splitlines()
+        m2 = (root / r2 / "metrics" / "m").read_text().strip().splitlines()
+        assert len(m1) == 1 and m1[0].split()[1] == "1.0"
+        assert len(m2) == 1 and m2[0].split()[1] == "2.0"

@@ -285,6 +285,24 @@ class TestTrainLoop:
         assert int(result["state"].step) >= 1
         assert np.isfinite(result["best_train_loss"])
 
+    def test_systematic_failure_raises(self, tmp_path):
+        """If EVERY batch of the first epoch fails, train() must raise
+        instead of reporting a successful no-op run."""
+        make_dirs(tmp_path)
+        for p in (tmp_path / "train" / "images").glob("*.png"):
+            p.write_bytes(b"broken")
+        cfg = tiny_config(tmp_path, epochs=1)
+        G, D = PConvUNet(base_width=8), Discriminator(base_width=8)
+        with pytest.raises(RuntimeError):
+            train(
+                tmp_path / "train" / "images",
+                tmp_path / "train" / "masks",
+                G, D,
+                checkpoint_path=tmp_path / "ck.pth",
+                config=cfg,
+                image_size=64,
+            )
+
 
 class TestHumanGuided:
     def test_fine_tune(self, tmp_path):
