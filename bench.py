@@ -119,14 +119,20 @@ def _grid_e2e(generator, variables, n_tiles: int = 100) -> float:
             generator, variables, root / "images", root / "masks",
             root / "warm",
         )
-        t0 = time.perf_counter()
-        outs = inpaint_directory(
-            generator, variables, root / "images", root / "masks",
-            root / "out",
-        )
-        dt = time.perf_counter() - t0
-        assert len(outs) == n_tiles
-        return round(n_tiles / dt, 2)
+        # best of 2: on this environment the device->host relay's
+        # fetch rate jitters ~1.5x between runs (BASELINE.md), which
+        # would dominate a single sample
+        best = 0.0
+        for i in range(2):
+            t0 = time.perf_counter()
+            outs = inpaint_directory(
+                generator, variables, root / "images", root / "masks",
+                root / f"out{i}",
+            )
+            dt = time.perf_counter() - t0
+            assert len(outs) == n_tiles
+            best = max(best, n_tiles / dt)
+        return round(best, 2)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
