@@ -21,6 +21,16 @@ import numpy as np
 # (No published number exists — BASELINE.md; this anchor is recorded there.)
 REFERENCE_TILES_PER_SEC = 30.0
 
+# Measured legs under the anchor (round-2 verdict task #5):
+# scripts/bench_ref_torch.py ran the ACTUAL reference torch PConvUNet on
+# this host: 0.216 tiles/s (4.63 s/tile, CPU batch 1 fp32, 1 thread) —
+# recorded in BASELINE.md next to the GPU estimate.
+MEASURED_REF_CPU_TILES_PER_SEC = 0.216
+# FLOP-counted forward cost of the 512^2 PConvUNet (r2 verdict audit:
+# conv MACs x2 over all 14 stages + mask convs) and v5e bf16 peak.
+GFLOP_PER_TILE = 93.9
+V5E_PEAK_TFLOPS = 197.0
+
 
 def main() -> None:
     import os
@@ -72,6 +82,14 @@ def main() -> None:
         "value": round(tiles_per_sec, 2),
         "unit": "tiles/s/chip",
         "vs_baseline": round(tiles_per_sec / REFERENCE_TILES_PER_SEC, 2),
+        # model FLOPs utilization on v5e bf16 peak — the measured leg
+        # of the headline (93.9 GFLOP/tile, FLOP-counted r2)
+        "mfu": round(
+            tiles_per_sec * GFLOP_PER_TILE / (V5E_PEAK_TFLOPS * 1e3), 4
+        ) if jax.default_backend() == "tpu" else None,
+        "vs_measured_ref_cpu": round(
+            tiles_per_sec / MEASURED_REF_CPU_TILES_PER_SEC, 1
+        ),
     }
     # secondary metrics must never take down the headline record
     for key, fn in (

@@ -91,7 +91,9 @@ def _image_size(cfg) -> int:
 def _build_models(cfg=None, remat: bool = False):
     """Models per config: training.compute_dtype selects bf16 perf mode
     (fp32 default keeps strict reference parity); remat trades FLOPs
-    for HBM in large-batch training."""
+    for HBM in large-batch training (training.remat = blanket,
+    training.remat_stages = selective — only the named stages
+    recompute, keeping deep-stage activations stored)."""
     import jax.numpy as jnp
 
     from ..models import Discriminator, PConvUNet
@@ -104,28 +106,41 @@ def _build_models(cfg=None, remat: bool = False):
     cd = jnp.bfloat16 if str(dtype_name).lower() in (
         "bf16", "bfloat16"
     ) else None
+    remat_stages = (
+        frozenset(cfg.training.remat_stages)
+        if cfg is not None and cfg.training.remat_stages else None
+    )
     return (
         PConvUNet(compute_dtype=cd, precision=None, remat=remat,
+                  remat_stages=remat_stages,
                   use_pallas=pallas_enabled()),
         Discriminator(compute_dtype=cd, precision=None),
     )
 
 
 def _load_vgg(cfg):
-    """Perceptual-loss weights: npz/pth path from config, else None."""
+    """Perceptual-loss weights: npz/pth path from config, else None.
+
+    Returns (params, provenance) where provenance records WHICH weights
+    the perceptual term ran on — "pretrained:<path>", "random:seed0" or
+    "none" — so every run and exported checkpoint is auditable for the
+    known numerical divergence from the reference objective (the
+    reference uses torchvision IMAGENET1K_V1 features, unobtainable in
+    this environment; reference mvp_gan/src/utils/losses.py:31).
+    """
     from ..models import vgg as vgg_mod
 
     path = (cfg.raw.get("training", {}) or {}).get("vgg_weights_path")
     if path and Path(path).exists():
-        return vgg_mod.load_weights(path)
+        return vgg_mod.load_weights(path), f"pretrained:{path}"
     if cfg.training.loss_weights.perceptual > 0:
         logger.warning(
             "no pretrained VGG weights configured "
             "(training.vgg_weights_path); using fixed-seed random VGG "
             "features for the perceptual term"
         )
-        return vgg_mod.random_weights(0)
-    return None
+        return vgg_mod.random_weights(0), "random:seed0"
+    return None, "none"
 
 
 def _init_master_state(cfg, input_model: Optional[str], image_size=512):
@@ -172,7 +187,24 @@ def run_training_mode(
 
     pm = PathManager(cfg)
     G, D, state = _init_master_state(cfg, input_model)
-    vgg = _load_vgg(cfg)
+    # NOTE r2 default flip: training previously always rematerialized;
+    # remat now follows training.remat (default off — measured +42%
+    # throughput at the production batch, BASELINE.md). Surfaced here so
+    # an OOM on configs sized beyond the batch-16 512^2 envelope points
+    # at the remedy.
+    logger.info(
+        "activation remat: %s (if training OOMs, set training.remat: "
+        "true or training.vgg_remat: true in config.yaml)",
+        "on" if cfg.training.remat else "off",
+    )
+    vgg, vgg_provenance = _load_vgg(cfg)
+    if tracker is not None:
+        # run-level provenance tag: which VGG weights the perceptual
+        # term ran on (auditable vs the reference's pretrained VGG)
+        try:
+            tracker.log_params({"vgg_weights": vgg_provenance})
+        except Exception as e:
+            logger.warning("could not log vgg provenance: %s", e)
     successful: List[str] = []
     failed: List[str] = []
     metrics: Dict[str, Any] = {}
@@ -231,7 +263,11 @@ def run_training_mode(
         ),
         lr=cfg.training.initial.learning_rate,
         config=cfg.raw,
-        extra={"processed_grids": successful, "metrics": metrics},
+        extra={
+            "processed_grids": successful,
+            "metrics": metrics,
+            "vgg_weights_provenance": vgg_provenance,
+        },
     )
     stamp = time.strftime("%Y%m%d_%H%M%S")
     import shutil
@@ -365,9 +401,15 @@ def run_human_guided_training_mode(
     variables = load_generator_variables(model_path)
     trainer = HumanGuidedTrainer(cfg, tracker=tracker)
     ckpt_dir = Path(cfg.evaluation.checkpoint_dir) / "human_guided"
+    vgg, vgg_provenance = _load_vgg(cfg)
+    if tracker is not None:
+        try:
+            tracker.log_params({"vgg_weights": vgg_provenance})
+        except Exception as e:
+            logger.warning("could not log vgg provenance: %s", e)
     result = trainer.train(
         G, variables, dataset,
-        checkpoint_dir=ckpt_dir, vgg_params=_load_vgg(cfg),
+        checkpoint_dir=ckpt_dir, vgg_params=vgg,
     )
 
     # save generator-only master with HG provenance (main_pipeline.py:705-737)
@@ -385,6 +427,7 @@ def run_human_guided_training_mode(
         "grid_square": grid,
         "best_loss": result["best_loss"],
         "config": cfg.raw,
+        "vgg_weights_provenance": vgg_provenance,
     }
     master_dir = _master_checkpoint_path(cfg).parent
     master_dir.mkdir(parents=True, exist_ok=True)

@@ -75,6 +75,11 @@ class TrainingConfig:
     # single-chip batches or bigger tiles.
     remat: bool = False
     vgg_remat: bool = False
+    # selective remat: recompute only these generator stages in the
+    # backward pass (e.g. ["enc1", "enc2", "dec2", "dec1"] — the
+    # full/half-resolution stages holding most of the activation HBM).
+    # Cheaper than blanket remat: deep-stage activations stay stored.
+    remat_stages: tuple = ()
 
     @classmethod
     def from_dict(cls, d):
@@ -102,6 +107,7 @@ class TrainingConfig:
             ),
             remat=bool(_get(d, "remat", default=False)),
             vgg_remat=bool(_get(d, "vgg_remat", default=False)),
+            remat_stages=tuple(_get(d, "remat_stages", default=()) or ()),
         )
 
     def effective_boundary_weight(self) -> float:

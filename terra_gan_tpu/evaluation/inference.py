@@ -45,15 +45,27 @@ def load_generator_variables(checkpoint_path: str | Path) -> Dict[str, Any]:
     return torch_state_to_generator_vars(sd)
 
 
+def _open_gray(path: str | Path) -> Image.Image:
+    """Grayscale PIL image via the native gray8 PNG decoder when the
+    file is one of the pipeline's own tiles (measured ~1.6x faster than
+    PIL decode); PIL fallback for everything else (other formats, bit
+    depths, palettes)."""
+    try:
+        from ..utils.native import png_decode_gray8
+
+        u8 = png_decode_gray8(Path(path).read_bytes())
+        if u8 is not None:
+            return Image.fromarray(u8, "L")
+    except Exception:  # pragma: no cover - any surprise -> PIL
+        pass
+    return Image.open(path).convert("L")
+
+
 def _load_pair(
     image_path: str | Path, mask_path: str | Path, size: int = MODEL_SIZE
 ) -> Tuple[np.ndarray, np.ndarray]:
-    img = Image.open(image_path).convert("L").resize(
-        (size, size), Image.BILINEAR
-    )
-    mask = Image.open(mask_path).convert("L").resize(
-        (size, size), Image.BILINEAR
-    )
+    img = _open_gray(image_path).resize((size, size), Image.BILINEAR)
+    mask = _open_gray(mask_path).resize((size, size), Image.BILINEAR)
     x = np.asarray(img, np.float32)[None, ..., None] / 255.0
     m = (np.asarray(mask, np.float32)[None, ..., None] > 0).astype(np.float32)
     return x, m
@@ -62,18 +74,33 @@ def _load_pair(
 def save_tile(
     array01: np.ndarray, path: str | Path, out_size: int = OUTPUT_SIZE
 ) -> None:
-    """[H,W] float in [0,1] (or pre-quantized uint8) -> PNG at out_size."""
+    """[H,W] float in [0,1] (or pre-quantized uint8) -> PNG at out_size.
+
+    Encoding goes through the native codec when available (Sub-filtered
+    zlib-1 huffman-only, native/terra_io.cpp — measured ~6x faster than
+    PIL at compress_level=3 AND smaller on DSM tiles; lossless either
+    way, decoders see identical pixels), with PIL as the fallback.
+    """
     if array01.dtype == np.uint8:
         u8 = array01  # already device-quantized (parallel/infer.py)
     else:
         u8 = (np.clip(array01, 0.0, 1.0) * 255.0).astype(np.uint8)
-    img = Image.fromarray(u8, mode="L")
-    if out_size and img.size != (out_size, out_size):
-        img = img.resize((out_size, out_size), Image.BILINEAR)
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    if out_size and u8.shape != (out_size, out_size):
+        img = Image.fromarray(u8, mode="L").resize(
+            (out_size, out_size), Image.BILINEAR
+        )
+        u8 = np.asarray(img)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    from ..utils.native import png_encode_gray8
+
+    data = png_encode_gray8(u8)
+    if data is not None:
+        path.write_bytes(data)
+        return
     # zlib level 3: ~25% faster encode than PIL's default 6 at equal
     # file size for these tiles (measured r2); pixels are identical
-    img.save(path, compress_level=3)
+    Image.fromarray(u8, mode="L").save(path, compress_level=3)
 
 
 # jit forwards cached per generator module (flax modules are immutable
@@ -116,11 +143,14 @@ def inpaint_directory(
     masks_dir: str | Path,
     output_dir: str | Path,
     mesh=None,
-    # single-chip throughput rises monotonically with batch up to the
-    # HBM limit: 620 t/s @32 -> 1035 t/s @128 on v5e; 192 OOMs 16 GB
-    # (BASELINE.md r2 batch sweep). Multi-chip meshes shard the chunk,
-    # so larger values amortize further there too.
-    chunk: int = 128,
+    # E2E window size. Pure device throughput peaks at batch 128
+    # (620 t/s @32 -> 1035 t/s @128, BASELINE.md r2 sweep), but a
+    # 100-tile parent grid at chunk 128 is a SINGLE window — no
+    # decode/fetch/encode overlap at all. 32 gives a 4-deep pipeline
+    # whose overlap gain (fetch- or encode-bound in practice) exceeds
+    # the per-tile device cost of the smaller batch by an order of
+    # magnitude on both relay-fetch and PCIe hosts (r3 analysis).
+    chunk: int = 32,
     model_size: int = MODEL_SIZE,
     out_size: int = OUTPUT_SIZE,
     io_workers: int = 8,
@@ -149,40 +179,89 @@ def inpaint_directory(
     if not pairs:
         return []
 
-    def load_or_none(p):
-        try:
-            return _load_pair(*p, size=model_size)
-        except Exception as e:
-            # reference behavior: skip the bad tile, keep the grid
-            # going (main_pipeline.py:528-530)
-            logger.error("tile %s failed to load, skipping: %s", p[0].stem, e)
-            return None
-
-    with ThreadPoolExecutor(max_workers=io_workers) as pool:
-        loaded = list(pool.map(load_or_none, pairs))
-    pairs = [p for p, ld in zip(pairs, loaded) if ld is not None]
-    loaded = [ld for ld in loaded if ld is not None]
-    if not loaded:
-        return []
-    images = np.concatenate([x for x, _ in loaded], axis=0)
-    masks = np.concatenate([m for _, m in loaded], axis=0)
-
     # quantize on device: the host only ever writes uint8 PNGs, and
     # fetching 1 byte/px instead of 4 relieves the device->host link
     # (the e2e bottleneck — BASELINE.md r2 grid-e2e analysis)
     inpainter = BatchedInpainter(
         generator, variables, mesh=mesh, chunk=chunk, quantize_uint8=True
     )
-    outputs = inpainter(images, masks)
+    step = inpainter.step
+    windows = [pairs[i : i + step] for i in range(0, len(pairs), step)]
 
-    def write(i: int) -> Path:
-        stem = pairs[i][0].stem
-        path = output_dir / f"{stem}_inpainted.png"
-        save_tile(outputs[i, ..., 0], path, out_size)
-        return path
+    def load_window(window):
+        stems, imgs, msks = [], [], []
+        for p in window:
+            try:
+                x, m = _load_pair(*p, size=model_size)
+            except Exception as e:
+                # reference behavior: skip the bad tile, keep the grid
+                # going (main_pipeline.py:528-530)
+                logger.error(
+                    "tile %s failed to load, skipping: %s", p[0].stem, e
+                )
+                continue
+            stems.append(p[0].stem)
+            imgs.append(x)
+            msks.append(m)
+        if not stems:
+            return None
+        return stems, np.concatenate(imgs), np.concatenate(msks)
 
+    # three-stage host/device pipeline: decode(window i+1) runs on pool
+    # threads while the device computes window i and the main thread
+    # fetches it, while pool threads encode window i-1's PNGs. Decode,
+    # zlib and the device fetch all release the GIL, so the stages
+    # genuinely overlap even on small hosts; the reference does all
+    # three strictly sequentially per tile (main_pipeline.py:497-539).
+    results: List[Path] = []
     with ThreadPoolExecutor(max_workers=io_workers) as pool:
-        return list(pool.map(write, range(len(pairs))))
+
+        def loaded_chunks():
+            prefetch = 2
+            futs = [pool.submit(load_window, w) for w in windows[:prefetch]]
+            nxt = prefetch
+            while futs:
+                res = futs.pop(0).result()
+                if nxt < len(windows):
+                    futs.append(pool.submit(load_window, windows[nxt]))
+                    nxt += 1
+                if res is not None:
+                    yield res
+
+        def encode_window(stems, out) -> List[Path]:
+            paths = []
+            for j, stem in enumerate(stems):
+                path = output_dir / f"{stem}_inpainted.png"
+                save_tile(out[j, ..., 0], path, out_size)
+                paths.append(path)
+            return paths
+
+        try:
+            write_futs = [
+                pool.submit(encode_window, stems, out)
+                for stems, out in inpainter.stream_from(loaded_chunks())
+            ]
+            for f in write_futs:
+                results.extend(f.result())
+        except Exception as e:
+            # the 128 default is tuned to 16 GB v5e HBM; on smaller
+            # accelerators retry at half the chunk instead of failing
+            # (idempotent: finished tiles are simply rewritten)
+            msg = str(e).lower()
+            oom = "resource_exhausted" in msg or "out of memory" in msg
+            if oom and step > inpainter.n_dev:
+                logger.warning(
+                    "chunk %d exhausted device memory; retrying at %d",
+                    chunk, chunk // 2,
+                )
+                return inpaint_directory(
+                    generator, variables, images_dir, masks_dir,
+                    output_dir, mesh=mesh, chunk=chunk // 2,
+                    model_size=model_size, out_size=out_size,
+                    io_workers=io_workers,
+                )
+            raise
+    return results
 
 
 def inpaint_with_gan(

@@ -42,12 +42,13 @@ _EPS_BOUNDARY = 1e-6
 
 def l1_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Mean absolute error over all elements (torch nn.L1Loss default)."""
-    return jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+    dt = jnp.promote_types(a.dtype, jnp.float32)
+    return jnp.mean(jnp.abs(a.astype(dt) - b.astype(dt)))
 
 
 def total_variation_loss(x: jnp.ndarray) -> jnp.ndarray:
     """Reference TV formula (losses.py:118-127). x: [B, H, W, C]."""
-    x = x.astype(jnp.float32)
+    x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
     b = x.shape[0]
     h_diff = x[:, 1:, :, :] - x[:, :-1, :, :]
     w_diff = x[:, :, 1:, :] - x[:, :, :-1, :]
@@ -76,7 +77,7 @@ def boundary_band(mask: jnp.ndarray) -> jnp.ndarray:
     1 - max(1-m, pad=-inf edge) — torch pads with -inf so edge windows
     see only real values plus -inf, matching reduce_window identity.
     """
-    m = mask.astype(jnp.float32)
+    m = mask.astype(jnp.promote_types(mask.dtype, jnp.float32))
     dilated = _max_pool_3x3(m)
     eroded = 1.0 - _max_pool_3x3(1.0 - m)
     return jnp.clip(dilated - eroded, 0.0, 1.0)
@@ -89,7 +90,10 @@ def boundary_aware_loss(
     boundary = boundary_band(mask)
     band_sum = jnp.sum(boundary)
     num = jnp.sum(
-        jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32)) * boundary
+        jnp.abs(
+            pred.astype(jnp.promote_types(pred.dtype, jnp.float32))
+            - target.astype(jnp.promote_types(pred.dtype, jnp.float32))
+        ) * boundary
     )
     loss = num / (band_sum + _EPS_BOUNDARY)
     # reference returns exactly 0.0 when the band is empty (sum < 1)

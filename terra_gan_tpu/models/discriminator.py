@@ -24,9 +24,12 @@ def _conv(x, kernel, bias, stride, padding, compute_dtype, precision=None):
     out = lax.conv_general_dilated(
         xi, ki, (stride, stride), ((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32 if compute_dtype is None else None,
+        preferred_element_type=(
+            jnp.promote_types(x.dtype, jnp.float32)
+            if compute_dtype is None else None
+        ),
         precision=precision,
-    ).astype(jnp.float32)
+    ).astype(jnp.promote_types(x.dtype, jnp.float32))
     return out + bias
 
 

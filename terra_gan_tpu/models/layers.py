@@ -69,10 +69,16 @@ class TorchBatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            x32 = x.astype(jnp.float32)
+            # f32 statistics for f32/bf16 activations; f64 activations
+            # (jax_enable_x64 parity runs) keep f64 like torch .double()
+            x32 = x.astype(jnp.promote_types(x.dtype, jnp.float32))
             mean = jnp.mean(x32, axis=(0, 1, 2))
-            # biased variance used for normalization (torch train mode)
-            var = jnp.mean(jnp.square(x32), axis=(0, 1, 2)) - jnp.square(mean)
+            # biased variance used for normalization (torch train mode).
+            # Two-pass E[(x-mean)^2] like torch — NOT E[x^2]-E[x]^2,
+            # whose cancellation loses ~ulp*mean^2/var relative accuracy
+            # and destabilized the deep 1x1 stages where var << mean^2
+            # (r3 trajectory-parity investigation)
+            var = jnp.mean(jnp.square(x32 - mean), axis=(0, 1, 2))
             n = x.shape[0] * x.shape[1] * x.shape[2]
             if not self.is_initializing():
                 m = self.momentum

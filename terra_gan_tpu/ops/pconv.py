@@ -50,7 +50,11 @@ def mask_window_sum(
     <= 255 are integers representable in bf16's 8-bit mantissa — while
     halving the traffic.
     """
-    dt = compute_dtype or jnp.float32
+    # f64 masks (jax_enable_x64 parity runs) keep f64 so the 1e-8-eps
+    # ratio division rounds like torch .double(); counts are integers,
+    # exact in every dtype here
+    acc = jnp.promote_types(mask.dtype, jnp.float32)
+    dt = compute_dtype or acc
     return lax.reduce_window(
         mask.astype(dt),
         jnp.zeros((), dt),
@@ -58,7 +62,7 @@ def mask_window_sum(
         window_dimensions=(1, kh, kw, 1),
         window_strides=(1, stride, stride, 1),
         padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
-    ).astype(jnp.float32)
+    ).astype(acc)
 
 
 def _s2d_conv_1ch(xm, kernel, padding, pet, precision):
@@ -136,7 +140,8 @@ def partial_conv2d(
     # makes the conv VJP receive f32 cotangents against bf16 kernels,
     # which lax.conv rejects (bf16 training would break); the MXU still
     # accumulates in f32 internally either way.
-    pet = jnp.float32 if compute_dtype is None else None
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    pet = acc_dtype if compute_dtype is None else None
     if (
         compute_dtype is not None
         and stride == 2
@@ -162,7 +167,7 @@ def partial_conv2d(
             preferred_element_type=pet,
             precision=precision,
         )
-    out = out.astype(jnp.float32)
+    out = out.astype(acc_dtype)
 
     mask_sum = mask_window_sum(
         mask, kh, kw, stride, padding, compute_dtype=compute_dtype
@@ -175,7 +180,7 @@ def partial_conv2d(
     ratio = lax.stop_gradient(ratio)
 
     out = (out + bias.astype(out.dtype)) * ratio
-    new_mask = valid.astype(jnp.float32)
+    new_mask = valid.astype(mask.dtype)
     return out, new_mask
 
 
@@ -202,6 +207,7 @@ def partial_conv2d_split(
     kh, kw = kernel.shape[0], kernel.shape[1]
     window = float(kh * kw)
 
+    acc_dtype = jnp.promote_types(parts[0].dtype, jnp.float32)
     out = None
     offset = 0
     for part in parts:
@@ -219,10 +225,10 @@ def partial_conv2d_split(
             padding=((padding, padding), (padding, padding)),
             dimension_numbers=_DN,
             preferred_element_type=(
-                jnp.float32 if compute_dtype is None else None
+                acc_dtype if compute_dtype is None else None
             ),
             precision=precision,
-        ).astype(jnp.float32)
+        ).astype(acc_dtype)
         out = contrib if out is None else out + contrib
     assert offset == kernel.shape[2], "parts do not cover kernel channels"
 
@@ -233,4 +239,4 @@ def partial_conv2d_split(
     ratio = jnp.where(valid, window / (mask_sum + 1e-8), 0.0)
     ratio = lax.stop_gradient(ratio)
     out = (out + bias.astype(out.dtype)) * ratio
-    return out, valid.astype(jnp.float32)
+    return out, valid.astype(mask.dtype)

@@ -72,29 +72,54 @@ class BatchedInpainter:
             out_shardings=self.bshard,
         )
 
-    def __call__(self, images: np.ndarray, masks: np.ndarray) -> np.ndarray:
-        """Inpaint a stack of tiles. images/masks: [N,H,W,1] float32."""
-        n = images.shape[0]
-        outs = []
-        step = max(self.chunk, self.n_dev)
-        # round chunk down to a device multiple
-        step -= step % self.n_dev
-        pending: Optional[Tuple[jax.Array, int]] = None
-        for start in range(0, n, step):
-            arrs = {
-                "image": images[start : start + step],
-                "mask": masks[start : start + step],
-            }
+    @property
+    def step(self) -> int:
+        """Chunk size rounded down to a device multiple."""
+        s = max(self.chunk, self.n_dev)
+        return s - s % self.n_dev
+
+    def stream_from(self, chunk_iter):
+        """Pipelined inference over an iterator of host chunks.
+
+        chunk_iter yields (meta, images, masks); this generator yields
+        (meta, host_output) one chunk late: chunk i+1's host->device
+        transfer and forward are dispatched BEFORE chunk i's
+        device->host fetch blocks, so the device computes while the
+        host fetches, and — when the consumer hands the yielded chunk
+        to a writer thread — while it encodes PNGs too. This is the
+        fetch/encode overlap that closes the grid-e2e host gap
+        (reference loop being replaced: main_pipeline.py:497-539,
+        strictly sequential load->forward->save per tile).
+        """
+        pending = None
+        for meta, images, masks in chunk_iter:
+            arrs = {"image": images, "mask": masks}
             arrs, pad = pad_to_multiple(arrs, self.n_dev)
             img = jax.device_put(arrs["image"], self.bshard)
             msk = jax.device_put(arrs["mask"], self.bshard)
             out = self._forward(self.variables, img, msk)
             if pending is not None:
-                prev_out, prev_pad = pending
-                outs.append(self._finish(prev_out, prev_pad))
-            pending = (out, pad)
+                prev_meta, prev_out, prev_pad = pending
+                yield prev_meta, self._finish(prev_out, prev_pad)
+            pending = (meta, out, pad)
         if pending is not None:
-            outs.append(self._finish(*pending))
+            prev_meta, prev_out, prev_pad = pending
+            yield prev_meta, self._finish(prev_out, prev_pad)
+
+    def __call__(self, images: np.ndarray, masks: np.ndarray) -> np.ndarray:
+        """Inpaint a stack of tiles. images/masks: [N,H,W,1] float32."""
+        n = images.shape[0]
+        step = self.step
+
+        def chunks():
+            for start in range(0, n, step):
+                yield (
+                    start,
+                    images[start : start + step],
+                    masks[start : start + step],
+                )
+
+        outs = [out for _, out in self.stream_from(chunks())]
         return (
             np.concatenate(outs, axis=0)
             if outs

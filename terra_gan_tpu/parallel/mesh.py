@@ -120,15 +120,34 @@ def parse_mesh_arg(
     return make_mesh(data * spatial, spatial=spatial)
 
 
-def batch_spec(mesh: Mesh, shard_spatial: bool = False) -> P:
-    """PartitionSpec for an NHWC batch: shard N on data, optionally H."""
+def data_axis_size(mesh: Mesh) -> int:
+    """How many ways the tile axis is split — the divisibility requirement
+    for a batch to shard over this mesh."""
+    return mesh.shape[DATA_AXIS]
+
+
+def batch_spec(
+    mesh: Mesh, shard_spatial: bool = False, shard_data: bool = True
+) -> P:
+    """PartitionSpec for an NHWC batch: shard N on data, optionally H.
+
+    shard_data=False replicates the batch over the data axis instead —
+    the tail-batch path for tile counts that don't divide the mesh
+    (see shard_train_step): every data row redundantly computes the
+    true (unpadded) batch, so loss means and BatchNorm batch statistics
+    match the reference's single-device tail semantics exactly
+    (mvp_gan/src/train.py:75-81, drop_last unset).
+    """
+    n = DATA_AXIS if shard_data else None
     if shard_spatial and mesh.shape[SPATIAL_AXIS] > 1:
-        return P(DATA_AXIS, SPATIAL_AXIS, None, None)
-    return P(DATA_AXIS)
+        return P(n, SPATIAL_AXIS, None, None)
+    return P(n)
 
 
-def batch_sharding(mesh: Mesh, shard_spatial: bool = False) -> NamedSharding:
-    return NamedSharding(mesh, batch_spec(mesh, shard_spatial))
+def batch_sharding(
+    mesh: Mesh, shard_spatial: bool = False, shard_data: bool = True
+) -> NamedSharding:
+    return NamedSharding(mesh, batch_spec(mesh, shard_spatial, shard_data))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -136,10 +155,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(
-    batch: Dict[str, jax.Array], mesh: Mesh, shard_spatial: bool = False
+    batch: Dict[str, jax.Array],
+    mesh: Mesh,
+    shard_spatial: bool = False,
+    shard_data: bool = True,
 ) -> Dict[str, jax.Array]:
     """Place a host batch dict onto the mesh, sharded over tiles."""
-    sharding = batch_sharding(mesh, shard_spatial)
+    sharding = batch_sharding(mesh, shard_spatial, shard_data)
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 
@@ -162,16 +184,31 @@ def pad_to_multiple(
     return padded, rem
 
 
-def shard_train_step(step_fn, mesh: Mesh, shard_spatial: bool = False):
+def shard_train_step(
+    step_fn,
+    mesh: Mesh,
+    shard_spatial: bool = False,
+    shard_data: bool = True,
+):
     """Wrap a train step for SPMD execution over the mesh.
 
     state/vgg replicated, batch sharded over tiles (and optionally H).
     Under jit's global view, batch-axis reductions (BatchNorm means,
     loss means, and thus gradients) automatically become cross-device
     psums — exactly single-device semantics, faster.
+
+    shard_data=False builds the *tail-batch* variant: the batch is
+    replicated over the data axis (still H-sharded over spatial when
+    enabled), so any tile count runs with true-batch loss/BatchNorm
+    semantics at the cost of redundant compute on the data rows. The
+    training loop routes non-divisible final batches here instead of
+    padding, which would bias the means (the reference trains the
+    partial tail batch as-is: mvp_gan/src/train.py:75-81). Per-device
+    memory for the tail equals the reference's own single-device
+    requirement at that batch size.
     """
     repl = replicated(mesh)
-    bshard = batch_sharding(mesh, shard_spatial)
+    bshard = batch_sharding(mesh, shard_spatial, shard_data)
     return jax.jit(
         step_fn,
         in_shardings=(repl, {"image": bshard, "mask": bshard}, repl),

@@ -9,8 +9,16 @@ a dependency-free HTTP service over the TPU-batched inpainter:
                            mode) -> {"inpainted": <b64 PNG>} at the
                            reference's 500x500 output contract
   * POST /inpaint_batch  — {"items": [{image, mask}, ...]} -> list
-  * GET  /healthz        — liveness + device info
+  * GET  /healthz        — liveness + device info (always open)
   * GET  /stats          — request/batch counters and latency EWMA
+
+Auth: when a secret is configured (--auth-secret or the
+TERRA_GAN_TPU_SERVING_SECRET env var), every endpoint except /healthz
+requires `Authorization: Bearer <HS256 JWT>` signed with that secret —
+the same token discipline as the annotation portal
+(portal/jwt_auth.py; reference semantics:
+Annotation_Portal_Code/app.py:38-55, 401 on a missing/invalid token).
+Bodies larger than --max-body-mb are rejected with 413 before reading.
 
 Requests are queued and coalesced into device batches of up to
 `max_batch` (padded to the mesh), amortizing dispatch overhead the
@@ -37,6 +45,10 @@ from typing import Any, Dict, Optional, Tuple
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+
+class BadRequestError(ValueError):
+    """Client-side input problem (undecodable image, wrong type) -> 400."""
 
 
 class MicroBatcher:
@@ -189,19 +201,41 @@ class InpaintService:
 
     # -- codecs -------------------------------------------------------------
     def decode_pair(self, item: Dict) -> Tuple[np.ndarray, np.ndarray]:
-        from PIL import Image
+        from PIL import Image as PILImage
 
-        def decode(b64: str, resample) -> np.ndarray:
-            raw = base64.b64decode(b64)
-            img = Image.open(io.BytesIO(raw)).convert("L")
+        if not isinstance(item, dict):
+            raise BadRequestError("each item must be a JSON object")
+
+        def decode(field: str, resample) -> np.ndarray:
+            b64 = item[field]  # KeyError -> 400 "missing field"
+            if not isinstance(b64, str):
+                raise BadRequestError(f"{field} must be a base64 string")
+            try:
+                raw = base64.b64decode(b64, validate=True)
+            except Exception as e:
+                raise BadRequestError(f"undecodable {field}: {e}") from e
+            img = None
+            try:
+                # native gray8 fast path (~1.6x PIL); None -> other
+                # formats/bit depths, handled by PIL below
+                from ..utils.native import png_decode_gray8
+
+                u8 = png_decode_gray8(raw)
+                if u8 is not None:
+                    img = PILImage.fromarray(u8, "L")
+            except Exception:
+                img = None
+            if img is None:
+                try:
+                    img = PILImage.open(io.BytesIO(raw)).convert("L")
+                except Exception as e:
+                    raise BadRequestError(f"undecodable {field}: {e}") from e
             if img.size != (self.size, self.size):
                 img = img.resize((self.size, self.size), resample)
             return np.asarray(img, np.float32)[..., None] / 255.0
 
-        from PIL import Image as PILImage
-
-        image = decode(item["image"], PILImage.BILINEAR)
-        mask = (decode(item["mask"], PILImage.BILINEAR) > 0).astype(np.float32)
+        image = decode("image", PILImage.BILINEAR)
+        mask = (decode("mask", PILImage.BILINEAR) > 0).astype(np.float32)
         return image, mask
 
     def encode_output(self, array01: np.ndarray) -> str:
@@ -211,15 +245,30 @@ class InpaintService:
             u8 = array01[..., 0]  # device-quantized
         else:
             u8 = (np.clip(array01[..., 0], 0, 1) * 255).astype(np.uint8)
-        img = Image.fromarray(u8)
-        if self.out_size and img.size != (self.out_size, self.out_size):
-            img = img.resize((self.out_size, self.out_size), Image.BILINEAR)
-        buf = io.BytesIO()
-        img.save(buf, format="PNG")
-        return base64.b64encode(buf.getvalue()).decode()
+        if self.out_size and u8.shape != (self.out_size, self.out_size):
+            u8 = np.asarray(
+                Image.fromarray(u8).resize(
+                    (self.out_size, self.out_size), Image.BILINEAR
+                )
+            )
+        from ..utils.native import png_encode_gray8
+
+        data = png_encode_gray8(u8)  # ~6x faster than PIL, lossless
+        if data is None:
+            buf = io.BytesIO()
+            Image.fromarray(u8).save(buf, format="PNG")
+            data = buf.getvalue()
+        return base64.b64encode(data).decode()
 
 
-def make_server(service: InpaintService, host: str, port: int):
+def make_server(
+    service: InpaintService,
+    host: str,
+    port: int,
+    auth_secret: Optional[str] = None,
+    max_body_bytes: int = 32 * 1024 * 1024,
+    max_batch_items: int = 64,
+):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):
             pass
@@ -232,6 +281,25 @@ def make_server(service: InpaintService, host: str, port: int):
             self.end_headers()
             self.wfile.write(body)
 
+        def _authorized(self) -> bool:
+            """Bearer-JWT check, portal-parity semantics (HS256, 401 on
+            any missing/malformed/expired token). /healthz stays open
+            for liveness probes."""
+            if auth_secret is None:
+                return True
+            from ..portal import jwt_auth
+
+            header = self.headers.get("Authorization", "")
+            if not header.startswith("Bearer "):
+                self._json({"error": "missing bearer token"}, 401)
+                return False
+            try:
+                jwt_auth.decode(header[len("Bearer "):].strip(), auth_secret)
+            except jwt_auth.InvalidTokenError as e:
+                self._json({"error": f"invalid token: {e}"}, 401)
+                return False
+            return True
+
         def do_GET(self):
             if self.path == "/healthz":
                 import jax
@@ -240,7 +308,10 @@ def make_server(service: InpaintService, host: str, port: int):
                     "status": "ok",
                     "devices": [str(d) for d in jax.devices()],
                     "model_size": service.size,
+                    "auth": auth_secret is not None,
                 })
+            if not self._authorized():
+                return
             if self.path == "/stats":
                 s = dict(service.batcher.stats)
                 s["mean_batch"] = (
@@ -250,11 +321,24 @@ def make_server(service: InpaintService, host: str, port: int):
             self._json({"error": "not found"}, 404)
 
         def do_POST(self):
-            length = int(self.headers.get("Content-Length", 0))
+            if not self._authorized():
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                return self._json({"error": "bad content-length"}, 400)
+            if length > max_body_bytes:
+                return self._json(
+                    {"error": f"body exceeds {max_body_bytes} bytes"}, 413
+                )
+            if length <= 0:
+                return self._json({"error": "empty body"}, 400)
             try:
                 payload = json.loads(self.rfile.read(length))
-            except json.JSONDecodeError:
+            except (json.JSONDecodeError, UnicodeDecodeError):
                 return self._json({"error": "bad json"}, 400)
+            if not isinstance(payload, dict):
+                return self._json({"error": "body must be a JSON object"}, 400)
             try:
                 if self.path == "/inpaint":
                     image, mask = service.decode_pair(payload)
@@ -263,14 +347,23 @@ def make_server(service: InpaintService, host: str, port: int):
                         {"inpainted": service.encode_output(out)}
                     )
                 if self.path == "/inpaint_batch":
+                    items = payload.get("items", [])
+                    if not isinstance(items, list):
+                        return self._json({"error": "items must be a list"}, 400)
+                    if len(items) > max_batch_items:
+                        return self._json(
+                            {"error": f"at most {max_batch_items} items"}, 400
+                        )
                     results = []
-                    for item in payload.get("items", []):
+                    for item in items:
                         image, mask = service.decode_pair(item)
                         out = service.batcher.submit(image, mask)
                         results.append(service.encode_output(out))
                     return self._json({"inpainted": results})
             except KeyError as e:
                 return self._json({"error": f"missing field {e}"}, 400)
+            except BadRequestError as e:
+                return self._json({"error": str(e)}, 400)
             except Exception as e:
                 logger.exception("request failed")
                 return self._json({"error": str(e)}, 500)
@@ -292,16 +385,34 @@ def main(argv=None) -> int:
     p.add_argument("--base-width", type=int, default=64)
     p.add_argument("--fp32", action="store_true",
                    help="exact fp32 mode (default bf16 perf mode)")
+    p.add_argument("--auth-secret", default=None,
+                   help="HS256 JWT secret; defaults to the "
+                        "TERRA_GAN_TPU_SERVING_SECRET env var. Unset = "
+                        "open server (logged loudly).")
+    p.add_argument("--max-body-mb", type=int, default=32)
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    import os
+
+    secret = args.auth_secret or os.environ.get(
+        "TERRA_GAN_TPU_SERVING_SECRET"
+    )
+    if not secret:
+        logger.warning(
+            "serving WITHOUT auth — set --auth-secret or "
+            "TERRA_GAN_TPU_SERVING_SECRET for production"
+        )
     service = InpaintService(
         checkpoint=args.checkpoint, size=args.size, out_size=args.out_size,
         max_batch=args.max_batch, bf16=not args.fp32,
         base_width=args.base_width,
     )
     service.warmup()
-    server = make_server(service, args.host, args.port)
+    server = make_server(
+        service, args.host, args.port, auth_secret=secret,
+        max_body_bytes=args.max_body_mb * 1024 * 1024,
+    )
     logger.info("serving on %s:%d", args.host, args.port)
     server.serve_forever()
     return 0

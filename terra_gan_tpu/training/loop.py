@@ -46,17 +46,48 @@ def loss_config_for_initial_training(cfg: TrainingConfig) -> InpaintingLossConfi
     )
 
 
-def _to_device(batch: Dict[str, np.ndarray], mesh=None):
+def _to_device(batch: Dict[str, np.ndarray], mesh=None, shard_data=True):
+    """Host batch -> device. With a mesh, tiles shard over the data axis
+    (shard_data=False replicates instead — the tail-batch path; see
+    shard_train_step). No padding: padded duplicate tiles would bias the
+    loss means, gradients and BatchNorm batch statistics, while the
+    reference computes them over the true tail batch
+    (mvp_gan/src/train.py:75-81, drop_last unset)."""
     arrays = {
         k: v for k, v in batch.items() if isinstance(v, np.ndarray)
     }
     if mesh is not None:
-        from ..parallel.mesh import pad_to_multiple, shard_batch
+        from ..parallel.mesh import shard_batch
 
-        n_dev = mesh.devices.size
-        arrays, _ = pad_to_multiple(arrays, n_dev)
-        return shard_batch(arrays, mesh)
+        return shard_batch(arrays, mesh, shard_data=shard_data)
     return {k: jnp.asarray(v) for k, v in arrays.items()}
+
+
+def _fetch_floats(
+    metrics: Dict[str, Any], epoch: int, batch_idx: Optional[int] = None
+) -> Dict[str, float]:
+    """Fetch device metrics to host floats, surfacing async failures.
+
+    JAX dispatch is asynchronous: a device-side error in a jitted step
+    (OOM, numerical runtime fault) does NOT raise at the step call — it
+    poisons the returned arrays and raises at the first host fetch,
+    i.e. here. The pre-failure state is unrecoverable (its buffers were
+    donated into the failing step), so we abort with a pointer to the
+    real failure site instead of a confusing far-away traceback.
+    """
+    try:
+        return {k: float(v) for k, v in metrics.items()}
+    except Exception as e:
+        where = (
+            f"epoch {epoch}" if batch_idx is None
+            else f"epoch {epoch}, by batch {batch_idx}"
+        )
+        raise RuntimeError(
+            f"device-side training failure surfaced at metric fetch "
+            f"({where}): a jitted train step failed asynchronously on "
+            f"device after dispatch; the training state is unrecoverable "
+            f"(donated buffers). Original error: {e}"
+        ) from e
 
 
 def train(
@@ -117,10 +148,16 @@ def train(
         jit_compile=mesh is None,
         loss_compute_dtype=getattr(generator, "compute_dtype", None),
     )
+    tail_step_fn = None
+    data_size = 1
     if mesh is not None:
-        from ..parallel.mesh import shard_train_step
+        from ..parallel.mesh import data_axis_size, shard_train_step
 
+        data_size = data_axis_size(mesh)
         step_fn = shard_train_step(raw_step, mesh)
+        # non-divisible final batches run data-replicated for exact
+        # true-batch loss/BN semantics (no padding bias)
+        tail_step_fn = shard_train_step(raw_step, mesh, shard_data=False)
     else:
         step_fn = raw_step
     eval_fn = make_eval_step(generator, discriminator, loss_cfg)
@@ -143,11 +180,23 @@ def train(
         last_err: Optional[Exception] = None
         for batch_idx, batch in enumerate(loader):
             try:
-                dev_batch = _to_device(batch, mesh)
-                state, metrics = step_fn(state, dev_batch, vgg_params)
+                n_tiles = next(
+                    v.shape[0] for v in batch.values()
+                    if isinstance(v, np.ndarray)
+                )
+                # non-divisible tail batches take the data-replicated
+                # step: true-batch loss/BN semantics, no padding bias
+                tail = mesh is not None and n_tiles % data_size != 0
+                dev_batch = _to_device(batch, mesh, shard_data=not tail)
+                fn = tail_step_fn if tail else step_fn
+                state, metrics = fn(state, dev_batch, vgg_params)
             except Exception as e:
                 # reference behavior: log and skip the failed batch,
-                # never abort the epoch (train.py:268-270)
+                # never abort the epoch (train.py:268-270). Reliable
+                # only for host-side errors (data load, placement,
+                # trace/compile): JAX dispatch is async, so a *device*-
+                # side failure returns normally here and surfaces at
+                # the next metric fetch — see _fetch_floats.
                 logger.error("batch %d failed, skipping: %s", batch_idx, e)
                 last_err = e
                 continue
@@ -161,24 +210,28 @@ def train(
                 )
             if tracker is not None and batch_idx % log_interval == 0:
                 step_no = epoch * len(loader) + batch_idx
-                host = {k: float(v) for k, v in metrics.items()}
+                host = _fetch_floats(metrics, epoch, batch_idx)
                 tracker.log_training_batch(
                     batch_metrics=host, step=step_no
                 )
 
         if n_batches == 0:
-            if epoch == 0 and last_err is not None:
-                # every single batch failed on the very first epoch:
-                # that is a systematic error (OOM, compile failure,
-                # broken loss setup), not a bad tile — surface it
-                # instead of "succeeding" with no training
+            if last_err is not None:
+                # every single batch of an epoch failed: systematic
+                # (OOM, compile failure, wedged device, broken loss
+                # setup), not a bad tile — surface it instead of
+                # "succeeding" with no training (any epoch, not just
+                # the first: a device can wedge mid-run)
                 raise RuntimeError(
-                    "training made no progress: every batch of the "
-                    "first epoch failed"
+                    f"training made no progress: every batch of epoch "
+                    f"{epoch} failed"
                 ) from last_err
             logger.warning("no batches in epoch %d", epoch)
             continue
-        epoch_metrics = {k: float(v) / n_batches for k, v in sums.items()}
+        epoch_metrics = {
+            k: v / n_batches
+            for k, v in _fetch_floats(sums, epoch).items()
+        }
         epoch_metrics["epoch_time"] = time.time() - t_epoch
 
         # ---- validation (train.py:277-303) -----------------------------

@@ -19,11 +19,15 @@ Faithful semantics reproduced from the reference:
   * BatchNorm running stats chronology matches torch: D's stats are
     updated three times per step in the order fake (G-step forward),
     real, fake-detached (train.py:202,211-212); G's once.
-  * The D-step's fake logits are numerically identical to the G-step's
-    (same params, same input; train-mode BN normalizes by batch stats,
-    which don't depend on the incoming running stats), so we reuse
-    them instead of a third full D forward — only the cheap
-    running-stat chain is replayed.
+  * The D-step RECOMPUTES its fake forward D(stop_grad(gen)) with the
+    live d_params. An earlier revision reused the G-step's fake logits
+    (their VALUES are identical: same params, same input, train-mode
+    BN normalizes by batch stats) — but a reused tensor is a constant
+    under jax.grad, which silently zeroed the fake-half contribution
+    to D's gradient, training D on the real half only. Found by the
+    r3 float64 trajectory gate (loss curves diverged while every
+    individual gradient matched); the recompute restores the
+    reference's exact D objective (train.py:209-219).
 
 The returned metrics dict mirrors the reference's batch metric names
 (train.py:246-251).
@@ -43,22 +47,11 @@ from .state import GANTrainState
 
 def bce_with_logits(logits: jnp.ndarray, target: float) -> jnp.ndarray:
     """Mean BCEWithLogits against a constant 0/1 target, numerically stable."""
-    x = logits.astype(jnp.float32)
+    x = logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
     # max(x,0) - x*z + log1p(exp(-|x|))
     return jnp.mean(
         jnp.maximum(x, 0.0) - x * target + jnp.log1p(jnp.exp(-jnp.abs(x)))
     )
-
-
-def _bn_stats_after(discriminator, d_params, d_stats, x):
-    """Run D once in train mode only to advance its BN running stats."""
-    _, updates = discriminator.apply(
-        {"params": d_params, "batch_stats": d_stats},
-        x,
-        True,
-        mutable=["batch_stats"],
-    )
-    return updates["batch_stats"]
 
 
 def make_train_step(
@@ -111,13 +104,22 @@ def make_train_step(
         g_adv = bce_with_logits(fake_logits, 1.0)
         total = recon_loss + g_adv
         aux = (gen, g_updates["batch_stats"], d_updates["batch_stats"],
-               fake_logits, comps, g_adv)
+               comps, g_adv)
         return total, aux
 
-    def d_loss_fn(d_params, d_stats, real, gen, fake_logits):
+    def d_loss_fn(d_params, d_stats, real, gen):
+        # torch chronology (train.py:209-219): D(real) first (BN stat
+        # update #2), then D(gen.detach()) (#3) — BOTH under grad wrt
+        # d_params
         real_logits, d_updates = discriminator.apply(
             {"params": d_params, "batch_stats": d_stats},
             real,
+            True,
+            mutable=["batch_stats"],
+        )
+        fake_logits, d_updates = discriminator.apply(
+            {"params": d_params, "batch_stats": d_updates["batch_stats"]},
+            gen,
             True,
             mutable=["batch_stats"],
         )
@@ -135,21 +137,16 @@ def make_train_step(
         (g_total, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             state.g_params, state, batch, vgg_params
         )
-        gen, new_g_stats, d_stats_fake, fake_logits, comps, g_adv = aux
+        gen, new_g_stats, d_stats_fake, comps, g_adv = aux
         g_upd, new_g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         new_g_params = optax.apply_updates(state.g_params, g_upd)
 
         # ---- Discriminator step (pre-update generator output) ----------
         gen_sg = jax.lax.stop_gradient(gen)
-        fake_logits_sg = jax.lax.stop_gradient(fake_logits)
-        (d_loss, (d_stats_real, real_loss, fake_loss)), d_grads = (
+        (d_loss, (d_stats_final, real_loss, fake_loss)), d_grads = (
             jax.value_and_grad(d_loss_fn, has_aux=True)(
-                state.d_params, d_stats_fake, real, gen_sg, fake_logits_sg
+                state.d_params, d_stats_fake, real, gen_sg
             )
-        )
-        # third torch BN-stat update: D(gen.detach()) (train.py:212)
-        d_stats_final = _bn_stats_after(
-            discriminator, state.d_params, d_stats_real, gen_sg
         )
         d_upd, new_d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
         new_d_params = optax.apply_updates(state.d_params, d_upd)

@@ -71,6 +71,23 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_long, ctypes.c_long, ctypes.c_long,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        try:
+            lib.terra_png_encode_gray8.restype = ctypes.c_long
+            lib.terra_png_encode_gray8.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_long,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ]
+            lib.terra_png_decode_gray8.restype = ctypes.c_int
+            lib.terra_png_decode_gray8.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+                ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+            ]
+        except AttributeError:
+            # stale .so predating the PNG codec; png_* helpers return None
+            logger.warning("libterra_io.so lacks the PNG codec — rebuild "
+                           "with `make -C native`")
         _lib = lib
         logger.info("native terra_io loaded from %s", _LIB_PATH)
         return _lib
@@ -116,6 +133,74 @@ def normalize_u8(data: np.ndarray) -> Optional[np.ndarray]:
     if rc != 0:
         return None
     return out.reshape(data.shape)
+
+
+# zlib strategy constants (mirrored so callers need not import zlib)
+Z_DEFAULT_STRATEGY, Z_FILTERED, Z_HUFFMAN_ONLY, Z_RLE = 0, 1, 2, 3
+
+
+def png_encode_gray8(
+    img: np.ndarray,
+    level: int = 1,
+    filter: int = 1,
+    strategy: int = Z_HUFFMAN_ONLY,
+) -> Optional[bytes]:
+    """Encode a [h, w] uint8 array as a grayscale PNG.
+
+    Default Sub-filter + zlib-1 + huffman-only: measured on 500² DSM
+    tiles both ~6x faster than PIL's compress_level=3 AND smaller
+    (Sub residuals are near-zero-centered noise; LZ matching buys
+    nothing, the Huffman pass does all the work). None when the native
+    library is unavailable. The output is a standard lossless PNG: any
+    decoder returns the exact input pixels.
+    """
+    lib = load_library()
+    if lib is None or not hasattr(lib, "terra_png_encode_gray8"):
+        return None
+    m = np.ascontiguousarray(img, np.uint8)
+    if m.ndim != 2:
+        return None
+    h, w = m.shape
+    # huffman-only worst case can exceed raw size by ~1/8 + constants
+    cap = h * (w + 1) + (h * (w + 1)) // 6 + 4096
+    out = np.empty(cap, np.uint8)
+    n = lib.terra_png_encode_gray8(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        int(level), int(filter), int(strategy),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+    )
+    if n <= 0:
+        return None
+    return out[:n].tobytes()
+
+
+def png_decode_gray8(data: bytes) -> Optional[np.ndarray]:
+    """Decode an 8-bit grayscale non-interlaced PNG to a [h, w] uint8
+    array. None when unavailable or the PNG needs a general decoder
+    (other bit depths / color types / interlacing) — callers fall back
+    to PIL."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "terra_png_decode_gray8"):
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    if buf.size < 33:
+        return None
+    # IHDR is the first chunk: width/height at byte offsets 16/20
+    w = int.from_bytes(data[16:20], "big")
+    h = int.from_bytes(data[20:24], "big")
+    if h <= 0 or w <= 0 or h * w > 1 << 30:
+        return None
+    out = np.empty(h * w, np.uint8)
+    oh = ctypes.c_long()
+    ow = ctypes.c_long()
+    rc = lib.terra_png_decode_gray8(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size,
+        ctypes.byref(oh), ctypes.byref(ow),
+    )
+    if rc != 0:
+        return None
+    return out.reshape(oh.value, ow.value)
 
 
 def box_sum_u8(

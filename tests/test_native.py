@@ -69,3 +69,81 @@ def test_box_sum_matches_bruteforce():
         for x in range(ow):
             want[y, x] = padded[y * s : y * s + k, x * s : x * s + k].sum()
     np.testing.assert_array_equal(got, want)
+
+
+class TestPngCodec:
+    """Fast gray8 PNG codec (encode: Sub+zlib-1 huffman-only; decode:
+    all five PNG filters). Lossless: every roundtrip is pixel-exact,
+    cross-checked against PIL in both directions."""
+
+    def _images(self):
+        rng = np.random.default_rng(5)
+        x, y = np.meshgrid(np.linspace(0, 8, 97), np.linspace(0, 8, 113))
+        dsm = ((np.sin(x) + np.cos(y * 1.3) + 2) / 4 * 255).astype(np.uint8)
+        return {
+            "dsm": dsm,
+            "noise": rng.integers(0, 256, (64, 64), dtype=np.uint8),
+            "flat": np.full((32, 48), 77, np.uint8),
+            "mask": (rng.random((50, 40)) > 0.7).astype(np.uint8) * 255,
+            "tiny": np.array([[0, 255]], np.uint8),
+        }
+
+    def test_encode_decodes_identically_via_pil(self):
+        import io
+        from PIL import Image
+        from terra_gan_tpu.utils.native import png_encode_gray8
+
+        for name, img in self._images().items():
+            for filt in (0, 1, 2):
+                data = png_encode_gray8(img, filter=filt)
+                assert data is not None, name
+                back = np.asarray(Image.open(io.BytesIO(data)))
+                np.testing.assert_array_equal(back, img, err_msg=name)
+
+    def test_decode_handles_pil_output(self):
+        import io
+        from PIL import Image
+        from terra_gan_tpu.utils.native import png_decode_gray8
+
+        for name, img in self._images().items():
+            for level in (1, 6):
+                buf = io.BytesIO()
+                Image.fromarray(img).save(buf, format="PNG",
+                                          compress_level=level)
+                got = png_decode_gray8(buf.getvalue())
+                assert got is not None, name
+                np.testing.assert_array_equal(got, img, err_msg=name)
+
+    def test_native_roundtrip(self):
+        from terra_gan_tpu.utils.native import (
+            png_decode_gray8, png_encode_gray8,
+        )
+
+        for name, img in self._images().items():
+            got = png_decode_gray8(png_encode_gray8(img))
+            np.testing.assert_array_equal(got, img, err_msg=name)
+
+    def test_strategies_and_levels(self):
+        from terra_gan_tpu.utils import native as nat
+
+        img = self._images()["dsm"]
+        for strat in (nat.Z_DEFAULT_STRATEGY, nat.Z_FILTERED,
+                      nat.Z_HUFFMAN_ONLY, nat.Z_RLE):
+            for level in (1, 3):
+                data = nat.png_encode_gray8(img, level=level, strategy=strat)
+                got = nat.png_decode_gray8(data)
+                np.testing.assert_array_equal(got, img)
+
+    def test_decode_rejects_unsupported(self):
+        import io
+        from PIL import Image
+        from terra_gan_tpu.utils.native import png_decode_gray8
+
+        # RGB PNG -> unsupported (caller must fall back to PIL)
+        rgb = np.zeros((8, 8, 3), np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(rgb).save(buf, format="PNG")
+        assert png_decode_gray8(buf.getvalue()) is None
+        # not a PNG at all
+        assert png_decode_gray8(b"definitely not a png") is None
+        assert png_decode_gray8(b"") is None

@@ -128,3 +128,136 @@ class TestHTTPService:
         except urllib.error.HTTPError as e:
             assert e.code == 400
             assert "mask" in json.loads(e.read())["error"]
+
+
+SECRET = "serving-test-secret"
+
+
+class TestServingAuthAndHardening:
+    """Bearer-JWT auth (portal parity: Annotation_Portal_Code/app.py:38-55
+    — 401 on missing/invalid/expired token) + request-size limits and
+    malformed-input handling (round-2 verdict weakness #7)."""
+
+    @pytest.fixture(scope="class")
+    def server(self):
+        service = InpaintService(
+            size=64, out_size=64, max_batch=4, bf16=False, base_width=8
+        )
+        service.warmup()
+        srv = make_server(
+            service, "127.0.0.1", 0, auth_secret=SECRET,
+            max_body_bytes=256 * 1024, max_batch_items=4,
+        )
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        yield f"http://127.0.0.1:{srv.server_port}"
+        srv.shutdown()
+
+    def _request(self, url, payload=None, token=None, raw_body=None):
+        headers = {"Content-Type": "application/json"}
+        if token is not None:
+            headers["Authorization"] = f"Bearer {token}"
+        data = raw_body
+        if data is None and payload is not None:
+            data = json.dumps(payload).encode()
+        req = urllib.request.Request(url, data=data, headers=headers)
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    def _token(self, **kwargs):
+        from terra_gan_tpu.portal import jwt_auth
+
+        return jwt_auth.encode({"sub": "tester"}, SECRET, **kwargs)
+
+    def _pair(self):
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 255, (64, 64), dtype=np.uint8)
+        mask = (rng.random((64, 64)) > 0.3).astype(np.uint8) * 255
+        return {"image": png_b64(img), "mask": png_b64(mask)}
+
+    def test_healthz_open_without_token(self, server):
+        with urllib.request.urlopen(f"{server}/healthz") as resp:
+            health = json.loads(resp.read())
+        assert health["status"] == "ok" and health["auth"] is True
+
+    def test_missing_token_401(self, server):
+        code, body = self._request(f"{server}/inpaint", self._pair())
+        assert code == 401 and "token" in body["error"]
+
+    def test_stats_requires_token(self, server):
+        code, _ = self._request(f"{server}/stats")
+        assert code == 401
+        token = self._token()
+        req = urllib.request.Request(
+            f"{server}/stats", headers={"Authorization": f"Bearer {token}"}
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+
+    def test_tampered_token_401(self, server):
+        token = self._token()
+        bad = token[:-2] + ("AA" if not token.endswith("AA") else "BB")
+        code, body = self._request(f"{server}/inpaint", self._pair(), token=bad)
+        assert code == 401 and "invalid token" in body["error"]
+
+    def test_expired_token_401(self, server):
+        token = self._token(expires_in=-10)
+        code, body = self._request(
+            f"{server}/inpaint", self._pair(), token=token
+        )
+        assert code == 401 and "expired" in body["error"]
+
+    def test_valid_token_inpaints(self, server):
+        code, body = self._request(
+            f"{server}/inpaint", self._pair(), token=self._token()
+        )
+        assert code == 200 and "inpainted" in body
+
+    def test_oversized_body_413(self, server):
+        big = b'{"image": "' + b"A" * (300 * 1024) + b'"}'
+        code, body = self._request(
+            f"{server}/inpaint", raw_body=big, token=self._token()
+        )
+        assert code == 413 and "exceeds" in body["error"]
+
+    def test_bad_json_400(self, server):
+        code, body = self._request(
+            f"{server}/inpaint", raw_body=b"{not json", token=self._token()
+        )
+        assert code == 400 and body["error"] == "bad json"
+
+    def test_non_object_body_400(self, server):
+        code, body = self._request(
+            f"{server}/inpaint", raw_body=b"[1,2,3]", token=self._token()
+        )
+        assert code == 400 and "object" in body["error"]
+
+    def test_undecodable_image_400(self, server):
+        payload = {"image": png_b64(np.zeros((64, 64), np.uint8)),
+                   "mask": base64.b64encode(b"not a png").decode()}
+        code, body = self._request(
+            f"{server}/inpaint", payload, token=self._token()
+        )
+        assert code == 400 and "undecodable mask" in body["error"]
+
+    def test_wrong_type_image_400(self, server):
+        payload = {"image": 12345, "mask": png_b64(np.zeros((64, 64), np.uint8))}
+        code, body = self._request(
+            f"{server}/inpaint", payload, token=self._token()
+        )
+        assert code == 400 and "base64" in body["error"]
+
+    def test_batch_items_not_list_400(self, server):
+        code, body = self._request(
+            f"{server}/inpaint_batch", {"items": "nope"}, token=self._token()
+        )
+        assert code == 400 and "list" in body["error"]
+
+    def test_batch_items_capped_400(self, server):
+        items = [self._pair()] * 5  # cap configured at 4
+        code, body = self._request(
+            f"{server}/inpaint_batch", {"items": items}, token=self._token()
+        )
+        assert code == 400 and "at most" in body["error"]

@@ -186,6 +186,57 @@ class TestTrainStepParity:
 
 
 @requires_ref
+class TestTrajectoryParity:
+    """Round-2 verdict task #4: the reference's observable behavior is
+    a training CURVE, not one step (mvp_gan/src/train.py:159-219) — so
+    run 20 full G+D optimizer steps at the PRODUCTION lr (2e-4) from
+    identical torch-initialized weights over a cycling set of batches
+    and require the loss trajectories to stay matched (NRMSE <= 1e-3,
+    observed ~1e-9) plus final-weight and BN-running-stat agreement.
+    Exercises optimizer-state evolution, BN running-stat drift and the
+    D/G interaction over time.
+
+    Runs in float64 in a subprocess (jax_enable_x64 is process-global):
+    the r3 investigation measured jax-vs-torch fp32 gradients agreeing
+    only to ~1e-2 relative — proven NOT to be an implementation gap
+    (f64 gradients of every block agree to ~1e-10) but fp32
+    conv-reassociation roundoff amplified by train-mode BatchNorm at
+    the U-Net's 1x1/2x2 deep stages; Adam's sign-like first steps
+    (update -> ±lr*sign(m/sqrt(v)) elementwise) then turn that roundoff
+    into divergent GAN trajectories at ANY fp32 lr. f64 drops the
+    roundoff floor ~1e8x, making the 20-step trajectory a true test of
+    the full update-rule semantics rather than of reassociation order.
+    """
+
+    def test_twenty_step_trajectory_f64(self):
+        import json
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        script = Path(__file__).parent / "trajectory_parity_main.py"
+        proc = subprocess.run(
+            [sys.executable, str(script)],
+            capture_output=True, text=True, timeout=1200,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        out = json.loads(proc.stdout.strip().splitlines()[-1])
+
+        assert out["steps"] == 20 and out["lr"] == 2e-4
+        # per-step loss trajectories
+        assert out["nrmse_g_loss"] <= 1e-3, out
+        assert out["nrmse_d_loss"] <= 1e-3, out
+        # the trajectories actually trained (finite, moved off init)
+        assert np.isfinite(out["final_g_loss_jax"])
+        assert np.isfinite(out["final_g_loss_torch"])
+        # final weights and BN running stats after 20 steps
+        assert out["max_g_param_diff"] < 1e-8, out
+        assert out["max_d_param_diff"] < 1e-8, out
+        assert out["max_g_bn_stat_diff"] < 1e-8, out
+        assert out["max_d_bn_stat_diff"] < 1e-8, out
+
+
+@requires_ref
 class TestGradientParity:
     def test_generator_grads_match_torch(self, batch):
         """jax.grad of the G objective vs torch autograd, per block."""
