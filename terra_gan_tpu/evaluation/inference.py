@@ -143,14 +143,15 @@ def inpaint_directory(
     masks_dir: str | Path,
     output_dir: str | Path,
     mesh=None,
-    # E2E window size. Pure device throughput peaks at batch 128
-    # (620 t/s @32 -> 1035 t/s @128, BASELINE.md r2 sweep), but a
-    # 100-tile parent grid at chunk 128 is a SINGLE window — no
-    # decode/fetch/encode overlap at all. 32 gives a 4-deep pipeline
-    # whose overlap gain (fetch- or encode-bound in practice) exceeds
-    # the per-tile device cost of the smaller batch by an order of
-    # magnitude on both relay-fetch and PCIe hosts (r3 analysis).
-    chunk: int = 32,
+    # E2E window size: 128 measured best end-to-end on the bench host
+    # (chunk 128: 15.0-16.6 t/s vs chunk 32: 13.1-13.5 — its
+    # device->host relay charges ~0.5 s per fetch round trip, which
+    # eats the overlap gain of smaller windows; BASELINE.md r3 grid
+    # study). On PCIe hosts where fetch is ~free, smaller windows
+    # (32) pipeline decode/encode against compute and should win —
+    # callers there can pass chunk=32. Device throughput also peaks
+    # at batch 128 (1035 t/s, r2 sweep).
+    chunk: int = 128,
     model_size: int = MODEL_SIZE,
     out_size: int = OUTPUT_SIZE,
     io_workers: int = 8,

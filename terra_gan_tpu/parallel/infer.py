@@ -98,6 +98,14 @@ class BatchedInpainter:
             img = jax.device_put(arrs["image"], self.bshard)
             msk = jax.device_put(arrs["mask"], self.bshard)
             out = self._forward(self.variables, img, msk)
+            try:
+                # hint the runtime to start the device->host DMA as
+                # soon as the forward completes, so it runs under the
+                # next chunk's transfer+compute instead of waiting for
+                # the blocking np.asarray below
+                out.copy_to_host_async()
+            except Exception:  # pragma: no cover - optional fast path
+                pass
             if pending is not None:
                 prev_meta, prev_out, prev_pad = pending
                 yield prev_meta, self._finish(prev_out, prev_pad)

@@ -9,13 +9,17 @@ agreement metrics.
 
 Why float64: the r3 investigation showed jax-vs-torch fp32 gradients
 agree only to ~1e-2 relative at small tile sizes — NOT an
-implementation gap (this script proves agreement to ~1e-10) but fp32
-conv-reassociation roundoff amplified by train-mode BatchNorm at the
-U-Net's 1x1/2x2 deep stages, which Adam's sign-like first steps then
-blow up into divergent GAN trajectories at any lr. In f64 the roundoff
-floor drops ~1e8x and the 20-step trajectories track to ~1e-9, making
-this a true test of the full update-rule semantics (loss -> grads ->
-Adam -> BN chronology -> D/G interaction) over time.
+implementation gap (in f64 every block's gradient matches to ~1e-10)
+but fp32 conv-reassociation roundoff amplified by train-mode BatchNorm
+at the U-Net's 1x1/2x2 deep stages. In f64 the roundoff floor drops
+~1e8x: step 0 matches at machine epsilon and the early steps at
+1e-11..1e-7, after which the adversarial dynamics amplify the
+remaining reassociation noise ~1e4x per step (measured; see the
+stepdiff_* output) — the gate in test_train_step.py is set by that
+physics. This makes the run a true test of the full update-rule
+semantics (loss -> grads -> Adam -> BN chronology -> D/G interaction)
+over time: the r3 D-gradient bug showed up here as a step-1 diff of
+~0.5, seven orders above the gate, while passing every per-step test.
 """
 
 import json
