@@ -53,16 +53,24 @@ def main() -> None:
     p.add_argument("--seq", type=int, default=20)
     p.add_argument("--conc", type=int, default=64)
     p.add_argument("--clients", type=int, default=8)
+    p.add_argument(
+        "--attach", action="store_true",
+        help="measure an already-running server on --port instead of "
+        "spawning one (cold-cache warmup can exceed the health window "
+        "when the relay compile path is slow)",
+    )
     args = p.parse_args()
 
-    proc = subprocess.Popen(
-        [
-            sys.executable, "-m", "terra_gan_tpu.serving.server",
-            "--port", str(args.port), "--size", str(args.size),
-            "--max-batch", str(args.max_batch),
-        ],
-        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-    )
+    proc = None
+    if not args.attach:
+        proc = subprocess.Popen(
+            [
+                sys.executable, "-m", "terra_gan_tpu.serving.server",
+                "--port", str(args.port), "--size", str(args.size),
+                "--max-batch", str(args.max_batch),
+            ],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
     base = f"http://127.0.0.1:{args.port}"
     try:
         for _ in range(900):  # server warms all batch buckets first
@@ -106,8 +114,9 @@ def main() -> None:
             "size": args.size,
         }))
     finally:
-        proc.terminate()
-        proc.wait(timeout=30)
+        if proc is not None:
+            proc.terminate()
+            proc.wait(timeout=30)
 
 
 if __name__ == "__main__":

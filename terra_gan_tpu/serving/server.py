@@ -154,7 +154,15 @@ class InpaintService:
                 jnp.ones((1, size, size, 1)),
                 False,
             )
-        def _forward(v, x, m):
+        def _forward(v, xm_u8):
+            # one stacked uint8 upload per batch (image ch0, 0/1 mask
+            # ch1): 1 byte/px/plane instead of two separate f32
+            # transfers — each host->device transfer pays a relay
+            # round trip here, and uint8 is 4x less on the wire.
+            # u8/255 in f32 is bit-identical to the former host-side
+            # np.float32(asarray(img))/255.
+            x = xm_u8[..., 0:1].astype(jnp.float32) / 255.0
+            m = xm_u8[..., 1:2].astype(jnp.float32)
             out = self.generator.apply(v, x * m, m, False)
             # PNG uint8 quantization on device: the host fetches
             # 1 byte/px instead of 4 (bit-identical to the host
@@ -170,9 +178,9 @@ class InpaintService:
         import jax.numpy as jnp
 
         for b in self._buckets:
-            x = jnp.zeros((b, self.size, self.size, 1))
-            m = jnp.ones((b, self.size, self.size, 1))
-            float(self._fwd(self.variables, x, m).sum())
+            xm = jnp.zeros((b, self.size, self.size, 2), jnp.uint8)
+            xm = xm.at[..., 1].set(1)
+            float(self._fwd(self.variables, xm).sum())
         logger.info("warmed batch buckets %s", self._buckets)
 
     def _bucket(self, n: int) -> int:
@@ -186,17 +194,12 @@ class InpaintService:
 
         n = images.shape[0]
         b = self._bucket(n)
+        xm = np.concatenate([images, masks], axis=-1)  # (n,H,W,2) uint8
         if n < b:  # pad to a warmed bucket (static shapes under jit)
-            pad = b - n
-            images = np.concatenate(
-                [images, np.repeat(images[-1:], pad, axis=0)]
+            xm = np.concatenate(
+                [xm, np.repeat(xm[-1:], b - n, axis=0)]
             )
-            masks = np.concatenate(
-                [masks, np.repeat(masks[-1:], pad, axis=0)]
-            )
-        out = np.asarray(
-            self._fwd(self.variables, jnp.asarray(images), jnp.asarray(masks))
-        )
+        out = np.asarray(self._fwd(self.variables, jnp.asarray(xm)))
         return out[:n]
 
     # -- codecs -------------------------------------------------------------
@@ -232,10 +235,12 @@ class InpaintService:
                     raise BadRequestError(f"undecodable {field}: {e}") from e
             if img.size != (self.size, self.size):
                 img = img.resize((self.size, self.size), resample)
-            return np.asarray(img, np.float32)[..., None] / 255.0
+            return np.asarray(img, np.uint8)[..., None]
 
+        # uint8 planes; the device does /255 and the 0/1 mask is
+        # already binary — one stacked 1-byte/px/plane upload
         image = decode("image", PILImage.BILINEAR)
-        mask = (decode("mask", PILImage.BILINEAR) > 0).astype(np.float32)
+        mask = (decode("mask", PILImage.BILINEAR) > 0).astype(np.uint8)
         return image, mask
 
     def encode_output(self, array01: np.ndarray) -> str:
@@ -270,6 +275,11 @@ def make_server(
     max_batch_items: int = 64,
 ):
     class Handler(BaseHTTPRequestHandler):
+        # headers and the ~340 KB base64 body go out as separate
+        # writes; with Nagle on, the kernel holds the second write for
+        # the peer's delayed ACK (~40 ms of the measured p50)
+        disable_nagle_algorithm = True
+
         def log_message(self, *args):
             pass
 

@@ -106,6 +106,36 @@ class TestHTTPService:
         )
         assert stats["requests"] >= 1
 
+    def test_uint8_upload_bit_identical_to_f32_path(self):
+        """The stacked-uint8 device upload (r3 serving perf win) must
+        produce bit-identical outputs to the former f32 two-array
+        path: u8->f32 then /255 under the SAME jit is the same IEEE
+        op sequence as uploading host-divided f32 (comparing two
+        jitted programs — eager-vs-jit fusion rounding is a separate,
+        known ±1)."""
+        import jax
+        import jax.numpy as jnp
+
+        svc = InpaintService(
+            size=32, out_size=32, max_batch=2, bf16=False, base_width=8
+        )
+        rng = np.random.default_rng(3)
+        xi = rng.integers(0, 255, (1, 32, 32, 1), dtype=np.uint8)
+        mi = (rng.random((1, 32, 32, 1)) > 0.3).astype(np.uint8)
+
+        @jax.jit
+        def fwd_f32(v, x, m):
+            out = svc.generator.apply(v, x * m, m, False)
+            return (jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+        want = np.asarray(fwd_f32(
+            svc.variables,
+            jnp.asarray(xi.astype(np.float32) / 255.0),
+            jnp.asarray(mi.astype(np.float32)),
+        ))
+        got = svc._infer(xi, mi)
+        np.testing.assert_array_equal(got, want)
+
     def test_batch_endpoint_and_bad_input(self, server):
         rng = np.random.default_rng(1)
         items = []
