@@ -17,7 +17,11 @@ controls this.
 
 from __future__ import annotations
 
+import contextlib
 import logging
+import os
+import signal
+import threading
 import time
 from pathlib import Path
 from typing import Any, Dict, Optional
@@ -35,6 +39,84 @@ from .state import GANTrainState, adam
 from .step import make_eval_step, make_train_step
 
 logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# graceful preemption (TPU pods are preemptible in production; the
+# reference has no recovery story beyond re-running — SURVEY §5.3)
+# ---------------------------------------------------------------------------
+
+_PREEMPT = threading.Event()
+
+
+def request_preemption() -> None:
+    """Ask the running train() to checkpoint and stop at the next batch
+    boundary. Safe from signal handlers and other threads."""
+    _PREEMPT.set()
+
+
+class TrainingPreempted(RuntimeError):
+    """Training was interrupted (SIGTERM or an injected drill) and the
+    master checkpoint was saved. Carries the live state so drivers can
+    export extra metadata before exiting; the CLI maps this to exit
+    code 75 (EX_TEMPFAIL: re-run the same command to resume)."""
+
+    def __init__(self, state=None, epoch: Optional[int] = None):
+        super().__init__(f"training preempted at epoch {epoch}")
+        self.state = state
+        self.epoch = epoch
+
+
+@contextlib.contextmanager
+def _preemption_guard():
+    """Arm SIGTERM -> graceful preemption for the duration of a training
+    run. Main-thread only (signal.signal requires it); nested/threaded
+    train() calls run unguarded — request_preemption() still works.
+
+    The guard wraps the epoch loop only: a SIGTERM during the setup /
+    first-compile phase still hard-kills the process, which is lossless
+    (no training progress exists yet; any prior checkpoint is intact)."""
+    armed = False
+    prev = None
+    if threading.current_thread() is threading.main_thread():
+        try:
+            prev = signal.signal(
+                signal.SIGTERM, lambda signum, frame: request_preemption()
+            )
+            armed = True
+            logger.info(
+                "preemption handler armed: SIGTERM checkpoints and stops "
+                "at the next batch boundary"
+            )
+        except ValueError:  # pragma: no cover - exotic embedding contexts
+            pass
+    try:
+        yield
+    finally:
+        if armed:
+            signal.signal(
+                signal.SIGTERM, prev if prev is not None else signal.SIG_DFL
+            )
+        _PREEMPT.clear()
+
+
+def _fault_injection(epoch: int, batch_idx: int) -> None:
+    """Recovery-drill hook (the reference has no fault injection —
+    SURVEY §5.3). TERRA_GAN_TPU_FAULT="preempt@E:B" requests a graceful
+    preemption at epoch E, batch B, exercising exactly the SIGTERM path
+    without a signal — usable from tests and operational drills."""
+    spec = os.environ.get("TERRA_GAN_TPU_FAULT")
+    if not spec:
+        return
+    try:
+        kind, loc = spec.split("@", 1)
+        at = tuple(int(v) for v in loc.split(":", 1))
+    except ValueError:
+        logger.warning("unrecognized TERRA_GAN_TPU_FAULT spec: %r", spec)
+        return
+    if kind == "preempt" and at == (epoch, batch_idx):
+        logger.warning("fault injection: preempt@%d:%d", *at)
+        request_preemption()
 
 
 def loss_config_for_initial_training(cfg: TrainingConfig) -> InpaintingLossConfig:
@@ -172,139 +254,156 @@ def train(
     epoch = -1
     val_g = val_d = None
 
-    for epoch in range(epochs):
-        t_epoch = time.time()
-        sums: Dict[str, float] = {}
-        n_batches = 0
+    with _preemption_guard():
+        for epoch in range(epochs):
+            t_epoch = time.time()
+            sums: Dict[str, float] = {}
+            n_batches = 0
 
-        last_err: Optional[Exception] = None
-        for batch_idx, batch in enumerate(loader):
-            try:
-                n_tiles = next(
-                    v.shape[0] for v in batch.values()
-                    if isinstance(v, np.ndarray)
-                )
-                # non-divisible tail batches take the data-replicated
-                # step: true-batch loss/BN semantics, no padding bias
-                tail = mesh is not None and n_tiles % data_size != 0
-                dev_batch = _to_device(batch, mesh, shard_data=not tail)
-                fn = tail_step_fn if tail else step_fn
-                state, metrics = fn(state, dev_batch, vgg_params)
-            except Exception as e:
-                # reference behavior: log and skip the failed batch,
-                # never abort the epoch (train.py:268-270). Reliable
-                # only for host-side errors (data load, placement,
-                # trace/compile): JAX dispatch is async, so a *device*-
-                # side failure returns normally here and surfaces at
-                # the next metric fetch — see _fetch_floats.
-                logger.error("batch %d failed, skipping: %s", batch_idx, e)
-                last_err = e
-                continue
-            n_batches += 1
-            # accumulate on device; fetch lazily
-            for k in ("g_loss", "d_loss", "real_loss", "fake_loss"):
-                sums[k] = sums.get(k, 0.0) + metrics[k]
-            if loss_cfg.boundary_weight > 0 and "g_boundary" in metrics:
-                sums["boundary_loss"] = (
-                    sums.get("boundary_loss", 0.0) + metrics["g_boundary"]
-                )
-            if tracker is not None and batch_idx % log_interval == 0:
-                step_no = epoch * len(loader) + batch_idx
-                host = _fetch_floats(metrics, epoch, batch_idx)
-                tracker.log_training_batch(
-                    batch_metrics=host, step=step_no
-                )
-
-        if n_batches == 0:
-            if last_err is not None:
-                # every single batch of an epoch failed: systematic
-                # (OOM, compile failure, wedged device, broken loss
-                # setup), not a bad tile — surface it instead of
-                # "succeeding" with no training (any epoch, not just
-                # the first: a device can wedge mid-run)
-                raise RuntimeError(
-                    f"training made no progress: every batch of epoch "
-                    f"{epoch} failed"
-                ) from last_err
-            logger.warning("no batches in epoch %d", epoch)
-            continue
-        epoch_metrics = {
-            k: v / n_batches
-            for k, v in _fetch_floats(sums, epoch).items()
-        }
-        epoch_metrics["epoch_time"] = time.time() - t_epoch
-
-        # ---- validation (train.py:277-303) -----------------------------
-        val_g = val_d = None
-        if val_loader is not None:
-            vg = vd = 0.0
-            nv = 0
-            for vb in val_loader:
-                state, _, vm = eval_fn(state, _to_device(vb), vgg_params)
-                vg += float(vm["val_g_loss"])
-                vd += float(vm["val_d_loss"])
-                nv += 1
-            if nv:
-                val_g, val_d = vg / nv, vd / nv
-                if tracker is not None:
-                    tracker.log_metrics(
-                        {"validation.g_loss": val_g, "validation.d_loss": val_d},
-                        step=epoch,
+            last_err: Optional[Exception] = None
+            for batch_idx, batch in enumerate(loader):
+                _fault_injection(epoch, batch_idx)
+                if _PREEMPT.is_set():
+                    # graceful preemption: persist the last committed
+                    # state, then surface. Outside the per-batch except
+                    # on purpose — preemption must never be "skipped".
+                    logger.warning(
+                        "preemption requested: checkpointing at epoch "
+                        "%d, batch %d", epoch, batch_idx,
+                    )
+                    if checkpoint_path is not None:
+                        _save(
+                            checkpoint_path, state, epoch, lr, config,
+                            {"preempted": True},
+                        )
+                    raise TrainingPreempted(state=state, epoch=epoch)
+                try:
+                    n_tiles = next(
+                        v.shape[0] for v in batch.values()
+                        if isinstance(v, np.ndarray)
+                    )
+                    # non-divisible tail batches take the data-replicated
+                    # step: true-batch loss/BN semantics, no padding bias
+                    tail = mesh is not None and n_tiles % data_size != 0
+                    dev_batch = _to_device(batch, mesh, shard_data=not tail)
+                    fn = tail_step_fn if tail else step_fn
+                    state, metrics = fn(state, dev_batch, vgg_params)
+                except Exception as e:
+                    # reference behavior: log and skip the failed batch,
+                    # never abort the epoch (train.py:268-270). Reliable
+                    # only for host-side errors (data load, placement,
+                    # trace/compile): JAX dispatch is async, so a *device*-
+                    # side failure returns normally here and surfaces at
+                    # the next metric fetch — see _fetch_floats.
+                    logger.error("batch %d failed, skipping: %s", batch_idx, e)
+                    last_err = e
+                    continue
+                n_batches += 1
+                # accumulate on device; fetch lazily
+                for k in ("g_loss", "d_loss", "real_loss", "fake_loss"):
+                    sums[k] = sums.get(k, 0.0) + metrics[k]
+                if loss_cfg.boundary_weight > 0 and "g_boundary" in metrics:
+                    sums["boundary_loss"] = (
+                        sums.get("boundary_loss", 0.0) + metrics["g_boundary"]
+                    )
+                if tracker is not None and batch_idx % log_interval == 0:
+                    step_no = epoch * len(loader) + batch_idx
+                    host = _fetch_floats(metrics, epoch, batch_idx)
+                    tracker.log_training_batch(
+                        batch_metrics=host, step=step_no
                     )
 
-        # ---- best-model checkpointing (train.py:314-397) ---------------
-        improved = False
-        if val_g is not None:
-            if val_g < best_val:
-                best_val, improved = val_g, True
-        elif epoch_metrics["g_loss"] < best_train:
-            best_train, improved = epoch_metrics["g_loss"], True
-        if val_g is None:
-            best_train = min(best_train, epoch_metrics["g_loss"])
-
-        if improved and checkpoint_path is not None:
-            extra = {
-                "epoch": epoch,
-                "g_loss": epoch_metrics["g_loss"],
-                "d_loss": epoch_metrics["d_loss"],
+            if n_batches == 0:
+                if last_err is not None:
+                    # every single batch of an epoch failed: systematic
+                    # (OOM, compile failure, wedged device, broken loss
+                    # setup), not a bad tile — surface it instead of
+                    # "succeeding" with no training (any epoch, not just
+                    # the first: a device can wedge mid-run)
+                    raise RuntimeError(
+                        f"training made no progress: every batch of epoch "
+                        f"{epoch} failed"
+                    ) from last_err
+                logger.warning("no batches in epoch %d", epoch)
+                continue
+            epoch_metrics = {
+                k: v / n_batches
+                for k, v in _fetch_floats(sums, epoch).items()
             }
+            epoch_metrics["epoch_time"] = time.time() - t_epoch
+
+            # ---- validation (train.py:277-303) -----------------------------
+            val_g = val_d = None
+            if val_loader is not None:
+                vg = vd = 0.0
+                nv = 0
+                for vb in val_loader:
+                    state, _, vm = eval_fn(state, _to_device(vb), vgg_params)
+                    vg += float(vm["val_g_loss"])
+                    vd += float(vm["val_d_loss"])
+                    nv += 1
+                if nv:
+                    val_g, val_d = vg / nv, vd / nv
+                    if tracker is not None:
+                        tracker.log_metrics(
+                            {"validation.g_loss": val_g, "validation.d_loss": val_d},
+                            step=epoch,
+                        )
+
+            # ---- best-model checkpointing (train.py:314-397) ---------------
+            improved = False
             if val_g is not None:
-                extra.update({"val_g_loss": val_g, "val_d_loss": val_d})
-            _save(checkpoint_path, state, epoch, lr, config, extra)
-            if tracker is not None:
-                tracker.log_model(
-                    {"params": state.g_params, "batch_stats": state.g_stats},
-                    "best_model_validation" if val_g is not None
-                    else "best_model_train",
-                    metrics={**extra, "best_val_loss": best_val}
-                    if val_g is not None else extra,
+                if val_g < best_val:
+                    best_val, improved = val_g, True
+            elif epoch_metrics["g_loss"] < best_train:
+                best_train, improved = epoch_metrics["g_loss"], True
+            if val_g is None:
+                best_train = min(best_train, epoch_metrics["g_loss"])
+
+            if improved and checkpoint_path is not None:
+                extra = {
+                    "epoch": epoch,
+                    "g_loss": epoch_metrics["g_loss"],
+                    "d_loss": epoch_metrics["d_loss"],
+                }
+                if val_g is not None:
+                    extra.update({"val_g_loss": val_g, "val_d_loss": val_d})
+                _save(checkpoint_path, state, epoch, lr, config, extra)
+                if tracker is not None:
+                    tracker.log_model(
+                        {"params": state.g_params, "batch_stats": state.g_stats},
+                        "best_model_validation" if val_g is not None
+                        else "best_model_train",
+                        metrics={**extra, "best_val_loss": best_val}
+                        if val_g is not None else extra,
+                    )
+
+            # periodic checkpoint every ckpt_interval epochs (train.py:400-405)
+            if checkpoint_path is not None and epoch % ckpt_interval == 0:
+                _save(
+                    checkpoint_path.parent / f"checkpoint_epoch_{epoch}",
+                    state, epoch, lr, config, {},
                 )
 
-        # periodic checkpoint every ckpt_interval epochs (train.py:400-405)
-        if checkpoint_path is not None and epoch % ckpt_interval == 0:
-            _save(
-                checkpoint_path.parent / f"checkpoint_epoch_{epoch}",
-                state, epoch, lr, config, {},
+            if tracker is not None:
+                tracker.log_metrics(
+                    {
+                        "epoch.g_loss": epoch_metrics["g_loss"],
+                        "epoch.d_loss": epoch_metrics["d_loss"],
+                        "epoch.real_loss": epoch_metrics["real_loss"],
+                        "epoch.fake_loss": epoch_metrics["fake_loss"],
+                        "epoch.time": epoch_metrics["epoch_time"],
+                    },
+                    step=epoch,
+                )
+            msg = (
+                f"epoch {epoch}: g_loss={epoch_metrics['g_loss']:.4f} "
+                f"d_loss={epoch_metrics['d_loss']:.4f}"
             )
+            if val_g is not None:
+                msg += f" val_g={val_g:.4f} val_d={val_d:.4f}"
+            logger.info("%s time=%.2fs", msg, epoch_metrics["epoch_time"])
 
-        if tracker is not None:
-            tracker.log_metrics(
-                {
-                    "epoch.g_loss": epoch_metrics["g_loss"],
-                    "epoch.d_loss": epoch_metrics["d_loss"],
-                    "epoch.real_loss": epoch_metrics["real_loss"],
-                    "epoch.fake_loss": epoch_metrics["fake_loss"],
-                    "epoch.time": epoch_metrics["epoch_time"],
-                },
-                step=epoch,
-            )
-        msg = (
-            f"epoch {epoch}: g_loss={epoch_metrics['g_loss']:.4f} "
-            f"d_loss={epoch_metrics['d_loss']:.4f}"
-        )
-        if val_g is not None:
-            msg += f" val_g={val_g:.4f} val_d={val_d:.4f}"
-        logger.info("%s time=%.2fs", msg, epoch_metrics["epoch_time"])
 
     total_time = time.time() - t_start
     if tracker is not None:

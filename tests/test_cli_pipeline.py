@@ -155,6 +155,36 @@ class TestPipelineCLI:
         assert len(inpainted) == 3
         assert Image.open(inpainted[0]).size == (500, 500)
 
+    def test_preemption_exit_75_and_resume(self, workspace, monkeypatch):
+        """Pod-preemption drill through the real driver: an injected
+        preemption (same code path as SIGTERM) checkpoints and exits 75;
+        re-running the same command resumes from the master checkpoint
+        (optimizer state included) and completes. The reference's only
+        recovery is re-running after a hard kill (SURVEY §5.3)."""
+        monkeypatch.setenv("TERRA_GAN_TPU_FAULT", "preempt@0:1")
+        assert run_cli(["--mode", "train", "--config", "config.yaml"]) == 75
+        ck = torch.load(
+            "ckpts/master_checkpoint.pth", map_location="cpu",
+            weights_only=False,
+        )
+        assert ck.get("preempted") is True
+        # one optimizer step committed before the batch-1 preempt point
+        g_steps = ck["optimizer_G_state_dict"]["state"][0]["step"]
+        assert int(g_steps) == 1
+
+        monkeypatch.delenv("TERRA_GAN_TPU_FAULT")
+        assert run_cli(["--mode", "train", "--config", "config.yaml"]) == 0
+        ck = torch.load(
+            "ckpts/master_checkpoint.pth", map_location="cpu",
+            weights_only=False,
+        )
+        assert ck.get("preempted") is not True
+        assert ck["processed_grids"] == ["NJ00"]
+        # 1 preempted step + 1 resumed epoch x 2 batches: Adam moments
+        # carried across the preemption, not reset
+        g_steps = ck["optimizer_G_state_dict"]["state"][0]["step"]
+        assert int(g_steps) == 3
+
     def test_vgg_provenance_tagged(self, workspace):
         """Every run and exported checkpoint records which VGG weights
         the perceptual term used (round-2 verdict task #9): the tag

@@ -304,6 +304,98 @@ class TestTrainLoop:
             )
 
 
+class TestPreemption:
+    """Graceful preemption (SIGTERM / fault-injection drill): the run
+    checkpoints the last committed state and surfaces TrainingPreempted;
+    re-running resumes from the checkpoint. The reference's only
+    recovery story is re-running after a hard kill (SURVEY §5.3)."""
+
+    def _assert_preempted_ckpt(self, path, tmp_path):
+        from terra_gan_tpu.training import TrainingPreempted  # noqa: F401
+
+        template = GANTrainState.create(
+            PConvUNet(base_width=8), Discriminator(base_width=8),
+            jax.random.PRNGKey(9), sample_shape=(1, 64, 64, 1),
+        )
+        restored, extra = import_pth(path, template)
+        assert extra.get("preempted") is True
+        return restored, extra
+
+    def test_fault_injected_preemption_then_resume(self, tmp_path, monkeypatch):
+        from terra_gan_tpu.training import TrainingPreempted
+
+        make_dirs(tmp_path)
+        cfg = tiny_config(tmp_path, epochs=2)  # 2 tiles/batch, 2 batches
+        G, D = PConvUNet(base_width=8), Discriminator(base_width=8)
+        ckpt = tmp_path / "master_checkpoint.pth"
+
+        monkeypatch.setenv("TERRA_GAN_TPU_FAULT", "preempt@0:1")
+        with pytest.raises(TrainingPreempted) as ei:
+            train(
+                tmp_path / "train" / "images", tmp_path / "train" / "masks",
+                G, D, checkpoint_path=ckpt, config=cfg, image_size=64,
+            )
+        assert ei.value.epoch == 0
+        # one batch committed before the batch-1 preemption point
+        assert int(ei.value.state.step) == 1
+        restored, extra = self._assert_preempted_ckpt(ckpt, tmp_path)
+        assert extra["epoch"] == 0
+
+        # resume from the preempted checkpoint: completes the schedule
+        monkeypatch.delenv("TERRA_GAN_TPU_FAULT")
+        result = train(
+            tmp_path / "train" / "images", tmp_path / "train" / "masks",
+            G, D, state=restored, checkpoint_path=ckpt, config=cfg,
+            image_size=64,
+        )
+        assert result["final_epoch"] == 1
+        # resumed run trained 2 epochs x 2 batches ON TOP of the
+        # preempted step (Adam moments et al. restored, not reset)
+        assert int(result["state"].step) == 1 + 4
+        _, extra2 = import_pth(ckpt, restored)
+        assert extra2.get("preempted") is not True
+
+    def test_sigterm_checkpoints_and_stops(self, tmp_path):
+        """The actual signal path: SIGTERM mid-epoch (delivered while a
+        batch runs) checkpoints and raises instead of dying."""
+        import os
+        import signal as _signal
+
+        from terra_gan_tpu.training import TrainingPreempted
+
+        make_dirs(tmp_path)
+        cfg = tiny_config(tmp_path, epochs=2)
+        G, D = PConvUNet(base_width=8), Discriminator(base_width=8)
+        ckpt = tmp_path / "master_checkpoint.pth"
+
+        class SigtermOnFirstLog:
+            """Tracker stub that SIGTERMs this process during the first
+            batch's metric log — the handler must convert it into a
+            graceful stop at the next batch boundary."""
+
+            def log_training_batch(self, batch_metrics, step):
+                if step == 0:
+                    os.kill(os.getpid(), _signal.SIGTERM)
+
+            def log_metrics(self, *a, **k):
+                pass
+
+            def log_model(self, *a, **k):
+                pass
+
+        prev = _signal.getsignal(_signal.SIGTERM)
+        with pytest.raises(TrainingPreempted) as ei:
+            train(
+                tmp_path / "train" / "images", tmp_path / "train" / "masks",
+                G, D, checkpoint_path=ckpt, config=cfg, image_size=64,
+                tracker=SigtermOnFirstLog(),
+            )
+        assert ei.value.epoch == 0
+        self._assert_preempted_ckpt(ckpt, tmp_path)
+        # the guard restored whatever handler pytest had installed
+        assert _signal.getsignal(_signal.SIGTERM) == prev
+
+
 class TestHumanGuided:
     def test_fine_tune(self, tmp_path):
         rng = np.random.default_rng(4)
