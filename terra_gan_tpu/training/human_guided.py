@@ -108,9 +108,13 @@ class HumanGuidedTrainer:
         checkpoint_dir.mkdir(parents=True, exist_ok=True)
 
         tx = adam(hg.learning_rate)
-        g_params = jax.tree.map(jnp.asarray, variables["params"])
+        # copy (not view) the caller's params: the jitted step donates
+        # its param buffers (donate_argnums), and jnp.asarray on a jax
+        # array is a no-op — without the copy, the caller's `variables`
+        # would be silently deleted by the first step
+        g_params = jax.tree.map(jnp.array, variables["params"])
         g_stats = jax.tree.map(
-            jnp.asarray, variables.get("batch_stats", {})
+            jnp.array, variables.get("batch_stats", {})
         )
         opt_state = tx.init(g_params)
         step_fn = self._make_step(generator, tx)
@@ -124,10 +128,49 @@ class HumanGuidedTrainer:
         t0 = time.time()
         history = []
 
+        from .loop import (
+            TrainingPreempted,
+            _fault_injection,
+            _PREEMPT,
+            _preemption_guard,
+        )
+
+        with _preemption_guard():
+            return self._run_epochs(
+                generator, num_epochs, checkpoint_dir, loader, step_fn,
+                g_params, g_stats, opt_state, vgg_params, best_loss, t0,
+                history, TrainingPreempted, _fault_injection, _PREEMPT,
+            )
+
+    def _run_epochs(
+        self, generator, num_epochs, checkpoint_dir, loader, step_fn,
+        g_params, g_stats, opt_state, vgg_params, best_loss, t0, history,
+        TrainingPreempted, _fault_injection, _PREEMPT,
+    ) -> Dict[str, Any]:
         for epoch in range(num_epochs):
             t_epoch = time.time()
             epoch_loss, success, batches = 0.0, 0, 0
             for batch_idx, batch in enumerate(loader):
+                _fault_injection(epoch, batch_idx)
+                if _PREEMPT.is_set():
+                    # same discipline as the initial-training loop:
+                    # persist the last committed state, then surface
+                    logger.warning(
+                        "HG preemption requested: checkpointing at "
+                        "epoch %d, batch %d", epoch, batch_idx,
+                    )
+                    ckpt = {
+                        "epoch": epoch,
+                        "model_state_dict": generator_vars_to_torch_state(
+                            {"params": jax.tree.map(np.asarray, g_params),
+                             "batch_stats": jax.tree.map(
+                                 np.asarray, g_stats)}
+                        ),
+                        "preempted": True,
+                        "config": getattr(self.config, "raw", {}),
+                    }
+                    save_pth(checkpoint_dir / "preempted.pth", ckpt)
+                    raise TrainingPreempted(state=None, epoch=epoch)
                 dev = {
                     k: jnp.asarray(v)
                     for k, v in batch.items()

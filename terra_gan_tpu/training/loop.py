@@ -224,6 +224,11 @@ def train(
             sample_shape=(1, image_size, image_size, 1),
             g_tx=adam(lr), d_tx=adam(lr),
         )
+    else:
+        # copy (not view) the caller's state: the jitted step donates
+        # its state buffers, which would otherwise silently delete the
+        # arrays the caller still holds (one-time copy, ~params+moments)
+        state = jax.tree.map(jnp.array, state)
 
     raw_step = make_train_step(
         generator, discriminator, adam(lr), adam(lr), loss_cfg,

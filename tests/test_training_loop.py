@@ -397,6 +397,58 @@ class TestPreemption:
 
 
 class TestHumanGuided:
+    @staticmethod
+    def _make_pairs(tmp_path, rng):
+        pairs = []
+        for i in range(4):
+            img = tmp_path / f"img{i}.png"
+            smask = tmp_path / f"smask{i}.png"
+            hmask = tmp_path / f"hmask{i}.png"
+            Image.fromarray(
+                rng.integers(0, 255, (64, 64), dtype=np.uint8)
+            ).save(img)
+            Image.fromarray(
+                (rng.random((64, 64)) > 0.3).astype(np.uint8) * 255
+            ).save(smask)
+            Image.fromarray(
+                (rng.random((64, 64)) > 0.8).astype(np.uint8) * 255
+            ).save(hmask)
+            pairs.append({
+                "image_path": img, "system_mask_path": smask,
+                "human_mask_path": hmask, "tile_name": f"nj000{i}",
+            })
+        return pairs
+
+    def test_preemption_drill(self, tmp_path, monkeypatch):
+        """The HG fine-tune honors the same preemption discipline as
+        initial training: snapshot + TrainingPreempted, no hard kill."""
+        from terra_gan_tpu.training import TrainingPreempted
+
+        ds = DirectMatchDataset(
+            self._make_pairs(tmp_path, np.random.default_rng(5)), size=64
+        )
+        cfg = tiny_config(tmp_path)
+        G = PConvUNet(base_width=8)
+        variables = jax.jit(G.init, static_argnums=3)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 64, 1)), jnp.ones((1, 64, 64, 1)), False,
+        )
+        monkeypatch.setenv("TERRA_GAN_TPU_FAULT", "preempt@0:1")
+        with pytest.raises(TrainingPreempted) as ei:
+            HumanGuidedTrainer(cfg).train(
+                G, variables, ds, checkpoint_dir=tmp_path / "hg"
+            )
+        assert ei.value.epoch == 0
+        snap = torch.load(
+            tmp_path / "hg" / "preempted.pth", map_location="cpu",
+            weights_only=False,
+        )
+        assert snap["preempted"] is True and snap["epoch"] == 0
+        # the snapshot is a loadable generator state (reference layout)
+        assert any(
+            k.startswith("enc1") for k in snap["model_state_dict"]
+        )
+
     def test_fine_tune(self, tmp_path):
         rng = np.random.default_rng(4)
         pairs = []
