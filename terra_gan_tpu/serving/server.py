@@ -424,7 +424,30 @@ def main(argv=None) -> int:
         max_body_bytes=args.max_body_mb * 1024 * 1024,
     )
     logger.info("serving on %s:%d", args.host, args.port)
+
+    # graceful drain: SIGTERM/SIGINT stop accepting new connections and
+    # let in-flight requests finish (ThreadingHTTPServer joins its
+    # non-daemon handler threads on server_close). A second signal
+    # falls through to the default handler (hard exit).
+    import signal
+    import threading
+
+    def _drain(signum, frame):
+        logger.info(
+            "signal %d: draining — no new connections, in-flight "
+            "requests finish", signum,
+        )
+        signal.signal(signum, signal.SIG_DFL)
+        # shutdown() blocks until serve_forever returns; it must run
+        # off the serving thread
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _drain)
+    signal.signal(signal.SIGINT, _drain)
+    server.daemon_threads = False
     server.serve_forever()
+    server.server_close()  # joins in-flight handler threads
+    logger.info("drained; exiting")
     return 0
 
 

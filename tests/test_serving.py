@@ -291,3 +291,64 @@ class TestServingAuthAndHardening:
             f"{server}/inpaint_batch", {"items": items}, token=self._token()
         )
         assert code == 400 and "at most" in body["error"]
+
+
+class TestGracefulDrain:
+    def test_shutdown_finishes_inflight_then_refuses(self):
+        """Drain semantics (the serving CLI wires SIGTERM/SIGINT to
+        exactly this shutdown+close sequence): an in-flight request
+        completes with a full 200 response; new connections are refused
+        once drained."""
+        import time as _time
+        import urllib.error
+
+        service = InpaintService(
+            size=64, out_size=64, max_batch=4, bf16=False, base_width=8
+        )
+        service.warmup()
+        srv = make_server(service, "127.0.0.1", 0)
+        srv.daemon_threads = False  # as the CLI sets before serving
+        port = srv.server_port
+
+        orig_submit = service.batcher.submit
+
+        def slow_submit(*a, **k):
+            _time.sleep(0.7)  # hold the request in flight past shutdown
+            return orig_submit(*a, **k)
+
+        service.batcher.submit = slow_submit
+        serve_thread = threading.Thread(target=srv.serve_forever)
+        serve_thread.start()
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (64, 64), dtype=np.uint8)
+        mask = (rng.random((64, 64)) > 0.3).astype(np.uint8) * 255
+        result = {}
+
+        def call():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/inpaint",
+                data=json.dumps(
+                    {"image": png_b64(img), "mask": png_b64(mask)}
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as resp:
+                result["status"] = resp.status
+                result["body"] = json.loads(resp.read())
+
+        rt = threading.Thread(target=call)
+        rt.start()
+        _time.sleep(0.25)  # request is inside slow_submit now
+        srv.shutdown()       # stop accepting new connections
+        serve_thread.join(10)
+        srv.server_close()   # joins the in-flight handler thread
+        rt.join(10)
+
+        assert result.get("status") == 200
+        assert "inpainted" in result["body"]
+        # drained server refuses new connections
+        with pytest.raises(urllib.error.URLError):
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=2
+            )
