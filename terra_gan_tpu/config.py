@@ -80,6 +80,12 @@ class TrainingConfig:
     # full/half-resolution stages holding most of the activation HBM).
     # Cheaper than blanket remat: deep-stage activations stay stored.
     remat_stages: tuple = ()
+    # overlap checkpoint writes with training: snapshot the state
+    # on-device (cheap copy) and run the device->host fetch + disk
+    # write on a background thread. Off by default (the snapshot
+    # briefly holds a second copy of params+moments in HBM; the
+    # reference writes synchronously).
+    async_checkpoint: bool = False
 
     @classmethod
     def from_dict(cls, d):
@@ -108,6 +114,9 @@ class TrainingConfig:
             remat=bool(_get(d, "remat", default=False)),
             vgg_remat=bool(_get(d, "vgg_remat", default=False)),
             remat_stages=tuple(_get(d, "remat_stages", default=()) or ()),
+            async_checkpoint=bool(
+                _get(d, "async_checkpoint", default=False)
+            ),
         )
 
     def effective_boundary_weight(self) -> float:

@@ -119,6 +119,39 @@ def _fault_injection(epoch: int, batch_idx: int) -> None:
         request_preemption()
 
 
+@jax.jit
+def _snapshot(tree):
+    """Device-side copy of a pytree: jit outputs are fresh buffers
+    (inputs are not donated), so the result is independent of later
+    donation of the original."""
+    return tree
+
+
+class _AsyncSaver:
+    """One background checkpoint writer (training.async_checkpoint).
+
+    The caller snapshots the state ON DEVICE first (cheap copy) — the
+    train step donates its input buffers, so by the time this thread
+    fetches, the original arrays may already be deleted. At most one
+    save is in flight: submitting joins the previous one (natural
+    back-pressure, and two writers can never race on the same path)."""
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+
+    def submit(self, fn) -> None:
+        self.join()
+        self._thread = threading.Thread(
+            target=fn, name="ckpt-writer", daemon=False
+        )
+        self._thread.start()
+
+    def join(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+
 def loss_config_for_initial_training(cfg: TrainingConfig) -> InpaintingLossConfig:
     return InpaintingLossConfig(
         perceptual_weight=cfg.loss_weights.perceptual,
@@ -259,7 +292,31 @@ def train(
     epoch = -1
     val_g = val_d = None
 
-    with _preemption_guard():
+    saver = _AsyncSaver() if tcfg.async_checkpoint else None
+
+    def do_save(path, save_epoch, extra):
+        """Checkpoint write: synchronous (reference semantics) or, with
+        training.async_checkpoint, snapshotted on-device and written on
+        the background thread so training never stalls on the
+        device->host fetch + disk write."""
+        if saver is None:
+            _save(path, state, save_epoch, lr, config, extra)
+            return
+        # one jitted program: fresh output buffers (no donation => no
+        # aliasing), so the snapshot survives the next step's donation;
+        # per-leaf jnp.array copies would pay a dispatch round trip per
+        # tensor on remote-attached devices
+        snap = _snapshot(state)
+        saver.submit(
+            lambda: _save(path, snap, save_epoch, lr, config, extra)
+        )
+
+    with contextlib.ExitStack() as _stack:
+        _stack.enter_context(_preemption_guard())
+        if saver is not None:
+            # flush any in-flight write on every exit path (normal,
+            # preempted, or failed) so checkpoints are never torn
+            _stack.callback(saver.join)
         for epoch in range(epochs):
             t_epoch = time.time()
             sums: Dict[str, float] = {}
@@ -277,6 +334,8 @@ def train(
                         "%d, batch %d", epoch, batch_idx,
                     )
                     if checkpoint_path is not None:
+                        if saver is not None:
+                            saver.join()  # never race an async write
                         _save(
                             checkpoint_path, state, epoch, lr, config,
                             {"preempted": True},
@@ -373,7 +432,7 @@ def train(
                 }
                 if val_g is not None:
                     extra.update({"val_g_loss": val_g, "val_d_loss": val_d})
-                _save(checkpoint_path, state, epoch, lr, config, extra)
+                do_save(checkpoint_path, epoch, extra)
                 if tracker is not None:
                     tracker.log_model(
                         {"params": state.g_params, "batch_stats": state.g_stats},
@@ -385,9 +444,9 @@ def train(
 
             # periodic checkpoint every ckpt_interval epochs (train.py:400-405)
             if checkpoint_path is not None and epoch % ckpt_interval == 0:
-                _save(
+                do_save(
                     checkpoint_path.parent / f"checkpoint_epoch_{epoch}",
-                    state, epoch, lr, config, {},
+                    epoch, {},
                 )
 
             if tracker is not None:

@@ -264,6 +264,41 @@ class TestTrainLoop:
         assert (tmp_path / "checkpoint_epoch_0").exists()
         assert int(result["state"].step) == 2 * 2  # 2 epochs x 2 batches
 
+    def test_async_checkpoint_matches_sync(self, tmp_path):
+        """training.async_checkpoint writes the same checkpoints as the
+        synchronous path (same seed -> same trajectory -> same best/
+        periodic saves), flushed before train() returns."""
+        make_dirs(tmp_path)
+        results = {}
+        for mode in ("sync", "async"):
+            d = tmp_path / mode
+            raw = tiny_config(tmp_path).raw
+            raw["training"]["async_checkpoint"] = mode == "async"
+            cfg = Config.from_dict(raw)
+            assert cfg.training.async_checkpoint == (mode == "async")
+            G, D = PConvUNet(base_width=8), Discriminator(base_width=8)
+            results[mode] = train(
+                tmp_path / "train" / "images", tmp_path / "train" / "masks",
+                G, D, checkpoint_path=d / "master_checkpoint.pth",
+                config=cfg, image_size=64, seed=3,
+            )
+            assert (d / "master_checkpoint.pth").exists()
+            assert (d / "checkpoint_epoch_0").exists()
+        a = torch.load(
+            tmp_path / "async" / "master_checkpoint.pth",
+            map_location="cpu", weights_only=False,
+        )
+        s = torch.load(
+            tmp_path / "sync" / "master_checkpoint.pth",
+            map_location="cpu", weights_only=False,
+        )
+        assert a["epoch"] == s["epoch"]
+        for k, v in s["generator_state_dict"].items():
+            assert torch.equal(a["generator_state_dict"][k], v), k
+        assert results["async"]["best_train_loss"] == pytest.approx(
+            results["sync"]["best_train_loss"]
+        )
+
     def test_epoch_survives_corrupt_tile(self, tmp_path):
         """A corrupt tile skips its batch only; the epoch and the run
         complete on the remaining data (reference train.py:268-270)."""
