@@ -44,9 +44,11 @@ def main() -> None:
 
     from terra_gan_tpu.models import PConvUNet
 
-    batch = 128  # measured sweet spot: 620 t/s @32 -> 1035 t/s @128; 192 OOMs
-    # 16 GB HBM (BASELINE.md r2 batch sweep). Grid-scale inference (10x10-tile
-    # parents) makes ~100-tile batches the production shape.
+    batch = 128  # measured sweet spot: 620 t/s @32 -> 1035 t/s @128.
+    # bf16 OOMs at 160+; w8a8 fits up to 256 but 128 stays fastest
+    # (BASELINE.md r2 batch sweep + r3 quant sweep). Grid-scale
+    # inference (10x10-tile parents) makes ~100-tile batches the
+    # production shape.
     shape = (batch, 512, 512, 1)
     generator = PConvUNet(compute_dtype=jnp.bfloat16, precision=None)
 
@@ -58,32 +60,58 @@ def main() -> None:
         jax.random.PRNGKey(0), x, m, False
     )
 
-    @jax.jit
-    def forward(variables, image, mask):
-        # summed scalar as a sync token: block_until_ready on this
-        # environment's remote relay can return before execution, so we
-        # fetch a data-dependent scalar to close the timing region.
-        out = generator.apply(variables, image * mask, mask, False)
-        return out, jnp.sum(out)
+    def make_forward(model):
+        @jax.jit
+        def forward(variables, image, mask):
+            # summed scalar as a sync token: block_until_ready on this
+            # environment's remote relay can return before execution, so
+            # we fetch a data-dependent scalar to close the timing region.
+            out = model.apply(variables, image * mask, mask, False)
+            return out, jnp.sum(out)
 
-    # warmup + compile (scalar fetch forces completion)
-    float(forward(variables, x, m)[1])
+        return forward
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out, token = forward(variables, x, m)
-    float(token)
-    dt = time.perf_counter() - t0
+    def timed(forward, iters=10):
+        float(forward(variables, x, m)[1])  # warmup + compile
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, token = forward(variables, x, m)
+        float(token)
+        return batch * iters / (time.perf_counter() - t0)
 
-    tiles_per_sec = batch * iters / dt
+    # headline = the production serving mode: w8a8 static-calibrated
+    # int8 MXU path (evaluation.quant / serving --quant). Measured
+    # hole-PSNR delta vs bf16 on trained weights: -0.001 dB
+    # (scripts/exp_quant_quality.py, BASELINE.md r3). Calibration (one
+    # bf16 forward on 16 tiles) happens outside the timed region, as in
+    # production where scales freeze after the first window.
+    from terra_gan_tpu.ops.quant import calibrate_quant_scales
+
+    bf16_tiles_per_sec = timed(make_forward(generator))
+    scales = calibrate_quant_scales(
+        generator, variables, [(x[:16] * m[:16], m[:16])]
+    )
+    quant_gen = generator.clone(quant="w8a8", quant_scales=scales)
+    tiles_per_sec = timed(make_forward(quant_gen))
+    if tiles_per_sec < bf16_tiles_per_sec:
+        # on backends where int8 convs don't win (e.g. CPU smoke runs),
+        # the headline falls back to the bf16 default eval mode
+        tiles_per_sec, mode = bf16_tiles_per_sec, "bf16"
+    else:
+        mode = "w8a8_static"
+
     rec = {
         "metric": "inpaint_512_tiles_per_sec",
         "value": round(tiles_per_sec, 2),
         "unit": "tiles/s/chip",
         "vs_baseline": round(tiles_per_sec / REFERENCE_TILES_PER_SEC, 2),
-        # model FLOPs utilization on v5e bf16 peak — the measured leg
-        # of the headline (93.9 GFLOP/tile, FLOP-counted r2)
+        "mode": mode,
+        "bf16_tiles_per_sec": round(bf16_tiles_per_sec, 2),
+        # model FLOPs utilization on the v5e bf16 peak — the measured
+        # leg of the headline (93.9 GFLOP/tile, FLOP-counted r2). For
+        # the w8a8 mode this is the bf16-EQUIVALENT utilization (useful
+        # FLOPs delivered relative to the bf16 roofline; the int8 MXU
+        # peak is ~2x higher, so int8-native MFU is about half this).
         "mfu": round(
             tiles_per_sec * GFLOP_PER_TILE / (V5E_PEAK_TFLOPS * 1e3), 4
         ) if jax.default_backend() == "tpu" else None,

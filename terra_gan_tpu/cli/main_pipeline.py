@@ -335,6 +335,7 @@ def run_evaluation_mode(
             G, variables, test_images, test_masks,
             paths["output_inpainted"], mesh=mesh,
             model_size=_image_size(cfg),
+            quant=cfg.evaluation.quant,
         )
         if outs:
             DSMColorizer(

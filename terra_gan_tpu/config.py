@@ -133,10 +133,21 @@ class EvaluationConfig:
     annotation_ratio: float = 0.01
     checkpoint_dir: str = "mvp_gan/checkpoints"
     checkpoint_file: str = "generator_epoch_49.pth"
+    # eval-path quantization: "w8a8" routes grid inference through the
+    # int8 MXU path with scales self-calibrated on the first window
+    # (ops/quant.py; measured 1.18x at the 512^2 headline shape with
+    # hole-PSNR parity — BASELINE.md r3). None (default) = bf16/fp32
+    # exactly as before.
+    quant: Optional[str] = None
 
     @classmethod
     def from_dict(cls, d):
         m = _get(d, "metrics", default={})
+        quant = _get(d, "quant", default=None)
+        if quant not in (None, "w8a8"):
+            raise ValueError(
+                f"evaluation.quant must be 'w8a8' or unset, got {quant!r}"
+            )
         return cls(
             iou_threshold=_get(m, "iou_threshold", default=0.5),
             precision_threshold=_get(m, "precision_threshold", default=0.7),
@@ -147,6 +158,7 @@ class EvaluationConfig:
             checkpoint_file=_get(
                 d, "checkpoint_file", default="generator_epoch_49.pth"
             ),
+            quant=quant,
         )
 
 

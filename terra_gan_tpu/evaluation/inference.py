@@ -155,6 +155,12 @@ def inpaint_directory(
     model_size: int = MODEL_SIZE,
     out_size: int = OUTPUT_SIZE,
     io_workers: int = 8,
+    # w8a8 eval quantization (ops/quant.py): self-calibrates activation
+    # scales on the first window (one unquantized forward), then runs
+    # the whole split through the int8 MXU path — measured 1.18x
+    # model-level at the 512^2/batch-128 headline shape with hole-PSNR
+    # parity on trained weights (BASELINE.md r3 int8 study)
+    quant: Optional[str] = None,
 ) -> List[Path]:
     """Batched, mesh-sharded inpainting of a whole test split.
 
@@ -238,9 +244,29 @@ def inpaint_directory(
             return paths
 
         try:
+            gen_chunks = loaded_chunks()
+            if quant is not None:
+                from itertools import chain
+
+                from ..ops.quant import calibrate_quant_scales
+
+                first = next(gen_chunks, None)
+                if first is not None:
+                    stems0, imgs0, msks0 = first
+                    n = min(16, len(stems0))
+                    scales = calibrate_quant_scales(
+                        generator, variables,
+                        [(imgs0[:n] * msks0[:n], msks0[:n])],
+                    )
+                    inpainter = BatchedInpainter(
+                        generator.clone(quant=quant, quant_scales=scales),
+                        variables, mesh=mesh, chunk=chunk,
+                        quantize_uint8=True,
+                    )
+                    gen_chunks = chain([first], gen_chunks)
             write_futs = [
                 pool.submit(encode_window, stems, out)
-                for stems, out in inpainter.stream_from(loaded_chunks())
+                for stems, out in inpainter.stream_from(gen_chunks)
             ]
             for f in write_futs:
                 results.extend(f.result())
@@ -259,7 +285,7 @@ def inpaint_directory(
                     generator, variables, images_dir, masks_dir,
                     output_dir, mesh=mesh, chunk=chunk // 2,
                     model_size=model_size, out_size=out_size,
-                    io_workers=io_workers,
+                    io_workers=io_workers, quant=quant,
                 )
             raise
     return results

@@ -52,6 +52,14 @@ class PConv2d(nn.Module):
     # auto mode: stage is on the measured allowlist; the kernel engages
     # only at batch sizes where it beats lax (stage_bench.py, r2)
     pallas_auto: bool = False
+    # w8a8 eval-mode quantization (ops/quant.py): int8 feature conv on
+    # the int8 MXU path; training and the mask path are never quantized
+    quant: bool = False
+    # static per-part activation scales from calibrate_quant_scales;
+    # None -> dynamic per-call amax
+    act_scale: Optional[Any] = None
+    # calibration mode: sow per-part amax of x*m into "quant_stats"
+    quant_calib: bool = False
 
     @nn.compact
     def __call__(self, x, mask: jnp.ndarray, train: bool):
@@ -67,6 +75,31 @@ class PConv2d(nn.Module):
             "bias", torch_conv_bias_init(k * k * in_ch), (self.features,)
         )
         bn = TorchBatchNorm(name="bn") if self.use_batch_norm else None
+
+        if self.quant_calib:
+            # running max over calibration calls; reduce_fn keeps the
+            # collection a single scalar per part instead of a tuple
+            for i, p in enumerate(parts):
+                self.sow(
+                    "quant_stats", f"amax{i}",
+                    jnp.max(jnp.abs((p * mask).astype(jnp.float32))),
+                    init_fn=lambda: jnp.zeros((), jnp.float32),
+                    reduce_fn=jnp.maximum,
+                )
+
+        if self.quant and not train:
+            from ..ops.quant import partial_conv2d_q8
+
+            out, new_mask = partial_conv2d_q8(
+                parts, mask, kernel, bias, self.stride, self.padding,
+                act_scales=self.act_scale, compute_dtype=self.compute_dtype,
+            )
+            if bn is not None:
+                out = bn(out, use_running_average=True)
+            out = nn.relu(out)
+            if self.compute_dtype is not None:
+                out = out.astype(self.compute_dtype)
+            return out, new_mask
 
         from ..ops.pallas.pconv_kernel import PALLAS_AUTO_MAX_BATCH
 
@@ -148,6 +181,19 @@ class PConvUNet(nn.Module):
     # their recompute is pure overhead). Ignored when remat=True
     # (blanket mode wins). Round-2 verdict weakness #3's lever.
     remat_stages: Optional[frozenset] = None
+    # w8a8 eval quantization (ops/quant.py; BASELINE.md int8 MXU study).
+    # quant="w8a8" quantizes the feature convs of the stages in
+    # quant_stages (None -> all stages) on eval-mode calls; training
+    # calls through the same module stay unquantized. quant_scales is
+    # an optional {stage: (scale_per_part, ...)} dict of static
+    # activation scales from ops.quant.calibrate_quant_scales — without
+    # it, scales are computed dynamically per call (one extra
+    # activation read). quant_calib=True captures per-stage amax into
+    # the "quant_stats" collection instead (used by the calibrator).
+    quant: Optional[str] = None
+    quant_stages: Optional[frozenset] = None
+    quant_scales: Optional[Any] = None
+    quant_calib: bool = False
 
     def _stage(self, **kwargs):
         from ..ops.pallas.pconv_kernel import pallas_stage_allowlist
@@ -157,6 +203,17 @@ class PConvUNet(nn.Module):
             else pallas_stage_allowlist()
         )
         kwargs.setdefault("pallas_auto", kwargs.get("name") in stages)
+        name = kwargs.get("name")
+        if self.quant is not None:
+            if self.quant != "w8a8":
+                raise ValueError(f"unknown quant mode {self.quant!r}")
+            if self.quant_stages is None or name in self.quant_stages:
+                kwargs.setdefault("quant", True)
+                if self.quant_scales is not None:
+                    kwargs.setdefault(
+                        "act_scale", self.quant_scales.get(name)
+                    )
+        kwargs.setdefault("quant_calib", self.quant_calib)
         use_remat = self.remat or (
             self.remat_stages is not None
             and kwargs.get("name") in self.remat_stages

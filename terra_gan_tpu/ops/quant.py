@@ -1,0 +1,177 @@
+"""Post-training w8a8 quantization for the PConv U-Net eval path.
+
+Motivation (BASELINE.md "int8 MXU study", scripts/exp_int8.py): on
+v5e, XLA lowers int8 x int8 -> int32 convs onto the int8 MXU path
+(~2x the bf16 peak), and int8 activations halve the HBM bytes of the
+bandwidth-bound shallow stages — measured 1.46x on dec1-like shapes,
+1.23x on deep 3x3 stages. This module supplies the quantized partial
+convolution used by `PConvUNet(quant="w8a8")`.
+
+Scheme (standard symmetric PTQ):
+  * weights: per-output-channel int8, scales derived inline from the
+    fp32 params at trace time (no checkpoint surgery — any existing
+    checkpoint quantizes on the fly; XLA folds the requant of the
+    small weight tensors into negligible work per batch).
+  * activations: per-tensor int8 on the masked input `x * m`. Scales
+    are either STATIC (calibrated floats baked into the trace — the
+    fast path: the quantize fuses into one elementwise pass) or
+    DYNAMIC (amax computed on device per call — calibration-free, one
+    extra read of the activation tensor).
+  * accumulation: int32 via preferred_element_type; dequantization,
+    bias, mask renormalization, BatchNorm and ReLU all stay in
+    fp32/bf16 exactly as the unquantized path
+    (reference semantics: mvp_gan/src/models/pconv.py:25-50).
+
+The mask path is untouched: window counts, renorm ratios and mask
+updates are bit-identical to the unquantized model, so quantization
+perturbs only the feature values, never the validity geometry.
+
+Training never quantizes (round() has no useful gradient and the
+reference trains fp32); `PConv2d` routes through this module only
+when `train=False`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from .pconv import _s2d_conv_1ch, mask_window_sum
+
+_DN = ("NHWC", "HWIO", "NHWC")
+_EPS = 1e-12
+
+
+def quantize_weight(kernel: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-output-channel int8 quantization of [kh,kw,I,O]."""
+    amax = jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=(0, 1, 2))
+    scale = jnp.maximum(amax, _EPS) / 127.0
+    w_q = jnp.clip(jnp.round(kernel.astype(jnp.float32) / scale), -127, 127)
+    return w_q.astype(jnp.int8), scale
+
+
+def quantize_act(
+    x: jnp.ndarray, scale: Optional[float] = None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-tensor int8 quantization.
+
+    scale=None -> dynamic (device amax, one extra pass over x);
+    scale=float -> static calibrated scale, baked into the trace.
+    """
+    if scale is None:
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        scale = jnp.maximum(amax, _EPS) / 127.0
+    else:
+        scale = jnp.asarray(scale, jnp.float32)
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return x_q.astype(jnp.int8), scale
+
+
+def _conv_q8(x_q, w_q, stride, padding):
+    return lax.conv_general_dilated(
+        x_q, w_q,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    )
+
+
+def partial_conv2d_q8(
+    parts: Sequence[jnp.ndarray],
+    mask: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    stride: int,
+    padding: int,
+    act_scales: Optional[Tuple[float, ...]] = None,
+    compute_dtype=None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """w8a8 partial convolution (single input or implicit channel concat).
+
+    Matches `partial_conv2d`/`partial_conv2d_split` semantics with the
+    feature conv in int8: each part is quantized with its own
+    activation scale (parts have very different ranges — upsampled
+    decoder features vs encoder skips), convolved against the
+    per-output-channel-quantized kernel slice, and dequantized before
+    the contributions sum in fp32. Bias, renorm and mask update are the
+    exact unquantized code path.
+    """
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    window = float(kh * kw)
+    acc_dtype = jnp.promote_types(parts[0].dtype, jnp.float32)
+
+    out = None
+    offset = 0
+    for i, part in enumerate(parts):
+        ch = part.shape[-1]
+        sub_kernel = kernel[:, :, offset: offset + ch, :]
+        offset += ch
+        w_q, s_w = quantize_weight(sub_kernel)
+        s_a = act_scales[i] if act_scales is not None else None
+        x_q, s_x = quantize_act(part * mask, s_a)
+        if (
+            len(parts) == 1
+            and stride == 2
+            and ch == 1
+            and kh == kw
+            and kh % 2 == 1
+            and part.shape[1] % 2 == 0
+            and part.shape[2] % 2 == 0
+            and padding == kh // 2
+        ):
+            # enc1 fast path: same space-to-depth reassociation as the
+            # bf16 path (1-channel stride-2 convs starve the MXU in any
+            # dtype); int8 sums are exact under the phase regrouping
+            y32 = _s2d_conv_1ch(x_q, w_q, padding, jnp.int32, None)
+        else:
+            y32 = _conv_q8(x_q, w_q, stride, padding)
+        contrib = y32.astype(acc_dtype) * (s_x * s_w).astype(acc_dtype)
+        out = contrib if out is None else out + contrib
+    assert offset == kernel.shape[2], "parts do not cover kernel channels"
+
+    mask_sum = mask_window_sum(
+        mask, kh, kw, stride, padding, compute_dtype=compute_dtype
+    )
+    valid = mask_sum > 0.0
+    ratio = jnp.where(valid, window / (mask_sum + 1e-8), 0.0)
+    out = (out + bias.astype(out.dtype)) * ratio
+    return out, valid.astype(mask.dtype)
+
+
+def calibrate_quant_scales(generator, variables, batches) -> dict:
+    """Derive static per-stage activation scales from calibration data.
+
+    Runs eval-mode forwards with amax capture (flax `sow` into the
+    `quant_stats` collection) over `batches` (an iterable of
+    (image, mask) NHWC arrays) and returns
+    ``{stage_name: (scale_part0, ...)}`` of Python floats, suitable for
+    ``PConvUNet(quant="w8a8", quant_scales=...)``. Scales are
+    amax/127 over ALL calibration batches (running max).
+    """
+    import jax
+
+    calib = generator.clone(quant=None, quant_calib=True)
+
+    @jax.jit
+    def _run(image, mask):
+        _, stats = calib.apply(
+            variables, image, mask, False, mutable=["quant_stats"]
+        )
+        return stats["quant_stats"]
+
+    merged: dict = {}
+    for image, mask in batches:
+        stats = jax.device_get(_run(image, mask))
+        for stage, vals in stats.items():
+            dst = merged.setdefault(stage, {})
+            for name, v in vals.items():
+                dst[name] = max(dst.get(name, 0.0), float(v))
+    return {
+        stage: tuple(
+            max(vals[f"amax{i}"], _EPS) / 127.0 for i in range(len(vals))
+        )
+        for stage, vals in merged.items()
+    }

@@ -1,0 +1,266 @@
+"""w8a8 post-training quantization (ops/quant.py).
+
+Gates the quantized eval path's numerics against the exact fp32 path:
+the int8 conv may only perturb feature VALUES within the symmetric-
+quantization error bound — the mask geometry (renorm ratios, validity
+propagation) and the composite's valid pixels must be untouched, and
+training calls through a quant-configured module must stay exactly
+unquantized (the reference trains fp32: mvp_gan/src/train.py).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from terra_gan_tpu.models import PConvUNet
+from terra_gan_tpu.ops.pconv import partial_conv2d, partial_conv2d_split
+from terra_gan_tpu.ops.quant import (
+    calibrate_quant_scales,
+    partial_conv2d_q8,
+    quantize_act,
+    quantize_weight,
+)
+
+
+def _nrmse(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(np.sqrt(np.mean((a - b) ** 2)) / (np.std(b) + 1e-12))
+
+
+def test_quantize_weight_roundtrip_bound():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(0, 0.1, (3, 3, 8, 16)).astype(np.float32))
+    w_q, s = quantize_weight(w)
+    assert w_q.dtype == jnp.int8
+    # per-output-channel bound: |w - w_q*s| <= s/2 elementwise
+    err = np.abs(np.asarray(w) - np.asarray(w_q, np.float32) * np.asarray(s))
+    assert np.all(err <= np.asarray(s) / 2 + 1e-7)
+
+
+def test_quantize_act_static_matches_dynamic_at_amax():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 4)).astype(np.float32))
+    xq_d, s_d = quantize_act(x)
+    xq_s, s_s = quantize_act(x, float(np.max(np.abs(np.asarray(x)))) / 127.0)
+    assert np.allclose(float(s_d), float(s_s), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(xq_d), np.asarray(xq_s))
+
+
+@pytest.mark.parametrize(
+    "k,s,p,cin,cout,hw",
+    [
+        (3, 1, 1, 8, 16, 32),
+        (3, 2, 1, 8, 16, 32),
+        (5, 2, 2, 16, 8, 33),
+        (7, 2, 3, 1, 8, 32),  # enc1-like: exercises the s2d int8 path
+    ],
+)
+def test_q8_matches_exact_within_quant_bound(k, s, p, cin, cout, hw):
+    rng = np.random.default_rng(k * 10 + s)
+    x = jnp.asarray(rng.random((2, hw, hw, cin), dtype=np.float32))
+    m = jnp.asarray((rng.random((2, hw, hw, 1)) > 0.4).astype(np.float32))
+    kern = jnp.asarray(
+        rng.normal(0, 0.08, (k, k, cin, cout)).astype(np.float32)
+    )
+    bias = jnp.asarray(rng.normal(0, 0.01, (cout,)).astype(np.float32))
+
+    ref, ref_mask = partial_conv2d(
+        x, m, kern, bias, s, p, precision="highest"
+    )
+    out, out_mask = partial_conv2d_q8((x,), m, kern, bias, s, p)
+
+    # mask path must be bit-identical (it is never quantized)
+    np.testing.assert_array_equal(np.asarray(out_mask), np.asarray(ref_mask))
+    assert _nrmse(out, ref) < 2e-2
+
+
+def test_q8_split_parts_match_concat():
+    """The split path quantizes each part independently; the result must
+    match quantizing the same parts against the concatenated exact
+    reference within the quant bound."""
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.random((2, 16, 16, 8), dtype=np.float32))
+    b = jnp.asarray(5.0 * rng.random((2, 16, 16, 4), dtype=np.float32))
+    m = jnp.asarray((rng.random((2, 16, 16, 1)) > 0.3).astype(np.float32))
+    kern = jnp.asarray(rng.normal(0, 0.1, (3, 3, 12, 16)).astype(np.float32))
+    bias = jnp.zeros((16,), jnp.float32)
+
+    ref, _ = partial_conv2d_split(
+        (a, b), m, kern, bias, 1, 1, precision="highest"
+    )
+    out, _ = partial_conv2d_q8((a, b), m, kern, bias, 1, 1)
+    assert _nrmse(out, ref) < 2e-2
+
+    # per-part scales matter: part b's 5x range would dominate a shared
+    # scale; verify part a's contribution is still resolved (not
+    # quantized to a handful of levels) by checking against a
+    # deliberately shared-scale quantization
+    shared = float(np.max(np.abs(np.asarray(b)))) / 127.0
+    coarse, _ = partial_conv2d_q8(
+        (a, b), m, kern, bias, 1, 1, act_scales=(shared, shared)
+    )
+    assert _nrmse(out, ref) <= _nrmse(coarse, ref)
+
+
+class TestQuantModel:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.random((2, 64, 64, 1), dtype=np.float32))
+        m = jnp.asarray((rng.random((2, 64, 64, 1)) > 0.25).astype(np.float32))
+        base = PConvUNet(base_width=16)
+        variables = base.init(jax.random.PRNGKey(0), x, m, False)
+        ref = base.apply(variables, x, m, False)
+        return x, m, base, variables, ref
+
+    def test_dynamic_quant_close_to_exact(self, setup):
+        x, m, base, variables, ref = setup
+        out = PConvUNet(base_width=16, quant="w8a8").apply(
+            variables, x, m, False
+        )
+        assert _nrmse(out, ref) < 5e-3
+
+    def test_valid_pixels_exact(self, setup):
+        x, m, base, variables, ref = setup
+        out = PConvUNet(base_width=16, quant="w8a8").apply(
+            variables, x, m, False
+        )
+        keep = np.asarray(m, bool)
+        np.testing.assert_array_equal(
+            np.asarray(out)[keep], np.asarray(x)[keep]
+        )
+
+    def test_calibrated_static_scales(self, setup):
+        x, m, base, variables, ref = setup
+        scales = calibrate_quant_scales(base, variables, [(x, m)])
+        assert set(scales) == {f"enc{i}" for i in range(1, 8)} | {
+            f"dec{i}" for i in range(1, 8)
+        }
+        # decoder stages consume (upsampled, skip) pairs -> 2 scales
+        assert len(scales["dec7"]) == 2 and len(scales["enc1"]) == 1
+        out = PConvUNet(
+            base_width=16, quant="w8a8", quant_scales=scales
+        ).apply(variables, x, m, False)
+        assert _nrmse(out, ref) < 5e-3
+
+    def test_stage_allowlist_subset(self, setup):
+        x, m, base, variables, ref = setup
+        out = PConvUNet(
+            base_width=16, quant="w8a8",
+            quant_stages=frozenset({"enc2", "dec2"}),
+        ).apply(variables, x, m, False)
+        # quantizing fewer stages must not be worse than quantizing all
+        out_all = PConvUNet(base_width=16, quant="w8a8").apply(
+            variables, x, m, False
+        )
+        assert _nrmse(out, ref) <= _nrmse(out_all, ref) + 1e-6
+
+    def test_train_mode_ignores_quant(self, setup):
+        """Training through a quant-configured module is exactly the
+        unquantized computation (PTQ is eval-only)."""
+        x, m, base, variables, ref = setup
+        q = PConvUNet(base_width=16, quant="w8a8")
+        out_q, vars_q = q.apply(
+            variables, x, m, True, mutable=["batch_stats"]
+        )
+        out_b, vars_b = base.apply(
+            variables, x, m, True, mutable=["batch_stats"]
+        )
+        np.testing.assert_array_equal(np.asarray(out_q), np.asarray(out_b))
+        ja, jb = jax.tree_util.tree_leaves(vars_q), jax.tree_util.tree_leaves(
+            vars_b
+        )
+        for a, b in zip(ja, jb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_bf16_compute_dtype_composes(self, setup):
+        x, m, base, variables, ref = setup
+        out = PConvUNet(
+            base_width=16, quant="w8a8", compute_dtype=jnp.bfloat16,
+            precision=None,
+        ).apply(variables, x, m, False)
+        assert _nrmse(out, ref) < 1e-2
+
+    def test_unknown_quant_mode_rejected(self, setup):
+        x, m, base, variables, ref = setup
+        with pytest.raises(ValueError, match="unknown quant mode"):
+            PConvUNet(base_width=16, quant="int4").apply(
+                variables, x, m, False
+            )
+
+
+class TestQuantPlumbing:
+    """quant wiring through config, grid inference, and serving."""
+
+    def test_config_key(self):
+        from terra_gan_tpu.config import Config
+
+        cfg = Config.from_dict({"evaluation": {"quant": "w8a8"}})
+        assert cfg.evaluation.quant == "w8a8"
+        assert Config.from_dict({}).evaluation.quant is None
+        with pytest.raises(ValueError, match="evaluation.quant"):
+            Config.from_dict({"evaluation": {"quant": "int4"}})
+
+    def test_inpaint_directory_quant(self, tmp_path):
+        from PIL import Image
+
+        from terra_gan_tpu.evaluation.inference import inpaint_directory
+
+        G = PConvUNet(base_width=16)
+        x = jnp.zeros((1, 64, 64, 1))
+        mm = jnp.ones((1, 64, 64, 1))
+        v = jax.jit(G.init, static_argnums=3)(
+            jax.random.PRNGKey(0), x, mm, False
+        )
+        rng = np.random.default_rng(0)
+        (tmp_path / "images").mkdir()
+        (tmp_path / "masks").mkdir()
+        for i in range(5):
+            Image.fromarray(
+                rng.integers(0, 255, (64, 64), dtype=np.uint8)
+            ).save(tmp_path / "images" / f"ns{i:04d}.png")
+            Image.fromarray(
+                ((rng.random((64, 64)) > 0.3) * 255).astype(np.uint8)
+            ).save(tmp_path / "masks" / f"ns{i:04d}_mask_resized.png")
+
+        ref = inpaint_directory(
+            G, v, tmp_path / "images", tmp_path / "masks",
+            tmp_path / "ref", model_size=64, out_size=64,
+        )
+        out = inpaint_directory(
+            G, v, tmp_path / "images", tmp_path / "masks",
+            tmp_path / "q8", model_size=64, out_size=64, quant="w8a8",
+        )
+        assert [p.name for p in out] == [p.name for p in ref]
+        for a, b in zip(out, ref):
+            qa = np.asarray(Image.open(a), np.int16)
+            qb = np.asarray(Image.open(b), np.int16)
+            # int8 feature error through sigmoid + uint8 PNG quantization:
+            # a few gray levels at most
+            assert np.abs(qa - qb).max() <= 3
+
+    def test_serving_lazy_calibration(self):
+        from terra_gan_tpu.serving import InpaintService
+
+        ref_svc = InpaintService(
+            size=64, out_size=64, max_batch=2, bf16=False, base_width=8
+        )
+        q_svc = InpaintService(
+            size=64, out_size=64, max_batch=2, bf16=False, base_width=8,
+            quant="w8a8",
+        )
+        assert not q_svc._quant_done
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 255, (1, 64, 64, 1), dtype=np.uint8)
+        msk = (rng.random((1, 64, 64, 1)) > 0.3).astype(np.uint8)
+        ref = ref_svc._infer(img, msk)
+        out = q_svc._infer(img, msk)
+        assert q_svc._quant_done
+        assert q_svc.generator.quant == "w8a8"
+        assert q_svc.generator.quant_scales  # calibrated, non-empty
+        assert np.abs(out.astype(np.int16) - ref.astype(np.int16)).max() <= 3
+        # second call reuses the calibrated fast path
+        out2 = q_svc._infer(img, msk)
+        np.testing.assert_array_equal(out, out2)
