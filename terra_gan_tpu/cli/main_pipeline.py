@@ -155,9 +155,11 @@ def _init_master_state(cfg, input_model: Optional[str], image_size=512):
         sample_shape=(1, image_size, image_size, 1),
         g_tx=adam(lr), d_tx=adam(lr),
     )
+    master = _master_checkpoint_path(cfg)
     ckpt = resolve_checkpoint(
-        input_model, _master_checkpoint_path(cfg),
+        input_model, master,
         "_BASELINE_MODEL/BASELINE_MODEL.pth",
+        preempted=master.parent / "preempted.pth",
     )
     if ckpt is not None:
         try:
@@ -194,8 +196,11 @@ def run_training_mode(
     # at the remedy.
     logger.info(
         "activation remat: %s (if training OOMs, set training.remat: "
-        "true or training.vgg_remat: true in config.yaml)",
-        "on" if cfg.training.remat else "off",
+        "true, training.remat_stages: [stages], or training.vgg_remat: "
+        "true in config.yaml)",
+        "on" if cfg.training.remat
+        else f"selective {sorted(cfg.training.remat_stages)}"
+        if cfg.training.remat_stages else "off",
     )
     vgg, vgg_provenance = _load_vgg(cfg)
     if tracker is not None:
@@ -367,7 +372,22 @@ def run_human_guided_training_mode(
     from ..training import HumanGuidedTrainer
     from ..utils.torch_compat import save_pth
 
-    model_path = Path(input_model) if input_model else _master_checkpoint_path(cfg)
+    ckpt_dir = Path(cfg.evaluation.checkpoint_dir) / "human_guided"
+    hg_preempted = ckpt_dir / "preempted.pth"
+    if hg_preempted.exists():
+        # a previous HG run was interrupted mid-fine-tune: resume from
+        # its latest weights, not the pre-HG source model — otherwise
+        # "re-run the same command" would silently discard the completed
+        # HG epochs (the file is consumed after a successful run)
+        logger.warning(
+            "resuming human-guided training from preempted checkpoint %s",
+            hg_preempted,
+        )
+        model_path = hg_preempted
+    else:
+        model_path = (
+            Path(input_model) if input_model else _master_checkpoint_path(cfg)
+        )
     if not model_path.exists():
         logger.error("no model for human-guided training: %s", model_path)
         return False
@@ -405,7 +425,6 @@ def run_human_guided_training_mode(
     G = PConvUNet(precision=None)
     variables = load_generator_variables(model_path)
     trainer = HumanGuidedTrainer(cfg, tracker=tracker)
-    ckpt_dir = Path(cfg.evaluation.checkpoint_dir) / "human_guided"
     vgg, vgg_provenance = _load_vgg(cfg)
     if tracker is not None:
         try:
@@ -438,6 +457,10 @@ def run_human_guided_training_mode(
     master_dir.mkdir(parents=True, exist_ok=True)
     save_pth(master_dir / f"master_model_human_guided_{stamp}.pth", ckpt)
     save_pth(master_dir / "master_checkpoint.pth", ckpt)
+    if hg_preempted.exists():
+        # completed run supersedes the interrupted state it resumed from
+        hg_preempted.unlink()
+        logger.info("consumed preempted HG checkpoint %s", hg_preempted)
     logger.info("human-guided training complete: best_loss=%s", result["best_loss"])
 
     # optional portal cleanup (main_pipeline.py:751-790)
@@ -525,12 +548,14 @@ def main(argv=None) -> int:
             )
     except TrainingPreempted as e:
         # SIGTERM (pod preemption) or an injected drill: the training
-        # loop saved the master checkpoint before surfacing. Exit 75
-        # (EX_TEMPFAIL) — re-running the same command resumes from the
-        # checkpoint via the standard priority chain.
+        # loop saved the latest state to a preempted.pth (never over the
+        # best-model master) before surfacing. Exit 75 (EX_TEMPFAIL) —
+        # re-running the same command resumes from it (preempted.pth
+        # outranks the rest of the load chain until consumed).
         logger.warning(
-            "run preempted at epoch %s; master checkpoint saved — "
-            "re-run the same command to resume (exit 75)", e.epoch,
+            "run preempted at epoch %s; latest state saved to %s — "
+            "re-run the same command to resume (exit 75)",
+            e.epoch, e.checkpoint,
         )
         return 75
     finally:

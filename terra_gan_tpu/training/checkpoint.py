@@ -327,8 +327,22 @@ def resolve_checkpoint(
     input_model: Optional[str | Path],
     master_checkpoint: Optional[str | Path],
     baseline_model: Optional[str | Path] = "_BASELINE_MODEL/BASELINE_MODEL.pth",
+    preempted: Optional[str | Path] = None,
 ) -> Optional[Path]:
-    """Reference load-priority chain (main_pipeline.py:227-245)."""
+    """Reference load-priority chain (main_pipeline.py:227-245), with one
+    addition the reference lacks: a ``preempted`` candidate that OUTRANKS
+    every other leg. A preempted.pth only exists if the previous run was
+    interrupted mid-training (training/loop.py writes it on SIGTERM and
+    consumes it on completion), so "re-run the same command to resume"
+    continues from the latest interrupted state even when the original
+    command named an --input_model warm start."""
+    if preempted and Path(preempted).exists():
+        logger.warning(
+            "resuming from preempted checkpoint %s (latest interrupted "
+            "state; outranks input_model/master until consumed by a "
+            "completed run)", preempted,
+        )
+        return Path(preempted)
     for candidate in (input_model, master_checkpoint, baseline_model):
         if candidate and Path(candidate).exists():
             logger.info("using checkpoint: %s", candidate)

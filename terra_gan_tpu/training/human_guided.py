@@ -170,7 +170,10 @@ class HumanGuidedTrainer:
                         "config": getattr(self.config, "raw", {}),
                     }
                     save_pth(checkpoint_dir / "preempted.pth", ckpt)
-                    raise TrainingPreempted(state=None, epoch=epoch)
+                    raise TrainingPreempted(
+                        state=None, epoch=epoch,
+                        checkpoint=checkpoint_dir / "preempted.pth",
+                    )
                 dev = {
                     k: jnp.asarray(v)
                     for k, v in batch.items()

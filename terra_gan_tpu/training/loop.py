@@ -57,14 +57,19 @@ def request_preemption() -> None:
 
 class TrainingPreempted(RuntimeError):
     """Training was interrupted (SIGTERM or an injected drill) and the
-    master checkpoint was saved. Carries the live state so drivers can
-    export extra metadata before exiting; the CLI maps this to exit
+    latest state was saved to a dedicated ``preempted.pth`` next to the
+    master checkpoint — never OVER it, so the best-validation weights
+    the master holds survive a preemption during a worse epoch. Carries
+    the live state and the save path so drivers can export extra
+    metadata / name the file before exiting; the CLI maps this to exit
     code 75 (EX_TEMPFAIL: re-run the same command to resume)."""
 
-    def __init__(self, state=None, epoch: Optional[int] = None):
+    def __init__(self, state=None, epoch: Optional[int] = None,
+                 checkpoint: Optional[Path] = None):
         super().__init__(f"training preempted at epoch {epoch}")
         self.state = state
         self.epoch = epoch
+        self.checkpoint = checkpoint
 
 
 @contextlib.contextmanager
@@ -329,18 +334,31 @@ def train(
                     # graceful preemption: persist the last committed
                     # state, then surface. Outside the per-batch except
                     # on purpose — preemption must never be "skipped".
-                    logger.warning(
-                        "preemption requested: checkpointing at epoch "
-                        "%d, batch %d", epoch, batch_idx,
-                    )
+                    # The save goes to a SIBLING preempted.pth, not the
+                    # master checkpoint_path: the master holds the best-
+                    # validation weights (train.py:314-397 contract) and
+                    # must not be clobbered by a possibly-worse latest
+                    # state. Resume prefers preempted.pth via
+                    # resolve_checkpoint and consumes it on completion.
+                    preempted_path = None
                     if checkpoint_path is not None:
+                        preempted_path = (
+                            checkpoint_path.parent / "preempted.pth"
+                        )
+                        logger.warning(
+                            "preemption requested: saving latest state "
+                            "to %s (epoch %d, batch %d)",
+                            preempted_path, epoch, batch_idx,
+                        )
                         if saver is not None:
                             saver.join()  # never race an async write
                         _save(
-                            checkpoint_path, state, epoch, lr, config,
+                            preempted_path, state, epoch, lr, config,
                             {"preempted": True},
                         )
-                    raise TrainingPreempted(state=state, epoch=epoch)
+                    raise TrainingPreempted(
+                        state=state, epoch=epoch, checkpoint=preempted_path
+                    )
                 try:
                     n_tiles = next(
                         v.shape[0] for v in batch.values()
@@ -469,6 +487,11 @@ def train(
             logger.info("%s time=%.2fs", msg, epoch_metrics["epoch_time"])
 
 
+    if checkpoint_path is not None:
+        # a completed run supersedes any preempted.pth it resumed from;
+        # consume it so a later fresh run can't silently pick it up
+        _remove_preempted(checkpoint_path.parent / "preempted.pth")
+
     total_time = time.time() - t_start
     if tracker is not None:
         final = {
@@ -487,6 +510,21 @@ def train(
         "final_epoch": epoch,
         "state": state,
     }
+
+
+def _remove_preempted(pth_path: Path) -> None:
+    """Delete a consumed preempted checkpoint (.pth + .orbax sibling)."""
+    import shutil
+
+    try:
+        if pth_path.exists():
+            pth_path.unlink()
+            logger.info("consumed preempted checkpoint %s", pth_path)
+        orbax = pth_path.with_suffix(".orbax")
+        if orbax.exists():
+            shutil.rmtree(orbax)
+    except OSError as e:  # pragma: no cover - fs race/permission
+        logger.warning("could not remove %s: %s", pth_path, e)
 
 
 def _save(path: Path, state, epoch, lr, config, extra):

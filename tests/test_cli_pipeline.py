@@ -157,15 +157,19 @@ class TestPipelineCLI:
 
     def test_preemption_exit_75_and_resume(self, workspace, monkeypatch):
         """Pod-preemption drill through the real driver: an injected
-        preemption (same code path as SIGTERM) checkpoints and exits 75;
-        re-running the same command resumes from the master checkpoint
-        (optimizer state included) and completes. The reference's only
-        recovery is re-running after a hard kill (SURVEY §5.3)."""
+        preemption (same code path as SIGTERM) saves the latest state to
+        preempted.pth (never over the best-model master) and exits 75;
+        re-running the same command resumes from it (optimizer state
+        included, preempted.pth outranking the load chain), completes,
+        and consumes it. The reference's only recovery is re-running
+        after a hard kill (SURVEY §5.3)."""
         monkeypatch.setenv("TERRA_GAN_TPU_FAULT", "preempt@0:1")
         assert run_cli(["--mode", "train", "--config", "config.yaml"]) == 75
+        # no epoch completed -> no master exists; the latest state went
+        # to the dedicated preempted.pth
+        assert not Path("ckpts/master_checkpoint.pth").exists()
         ck = torch.load(
-            "ckpts/master_checkpoint.pth", map_location="cpu",
-            weights_only=False,
+            "ckpts/preempted.pth", map_location="cpu", weights_only=False,
         )
         assert ck.get("preempted") is True
         # one optimizer step committed before the batch-1 preempt point
@@ -184,6 +188,46 @@ class TestPipelineCLI:
         # carried across the preemption, not reset
         g_steps = ck["optimizer_G_state_dict"]["state"][0]["step"]
         assert int(g_steps) == 3
+        # the completed run consumed the preempted checkpoint
+        assert not Path("ckpts/preempted.pth").exists()
+
+    def test_hg_preemption_resume(self, workspace, monkeypatch):
+        """Human-guided preemption resume: re-running the same command
+        must continue from the HG preempted.pth — NOT restart from the
+        pre-HG master and silently discard the fine-tune progress."""
+        rng = np.random.default_rng(2)
+        assert run_cli(["--mode", "train", "--config", "config.yaml"]) == 0
+
+        ann = Path("data/output/NJ00/human_annotation_masks")
+        ann.mkdir(parents=True, exist_ok=True)
+        for m in Path("data/processed/NJ00/test/masks").glob(
+            "*_mask_resized.png"
+        ):
+            tile = m.stem.replace("_mask_resized", "")
+            hm = (rng.random((64, 64)) > 0.8).astype(np.uint8) * 255
+            Image.fromarray(hm).save(ann / f"colored_{tile}_user1.png")
+
+        monkeypatch.setenv("TERRA_GAN_TPU_FAULT", "preempt@0:1")
+        assert run_cli(
+            ["--mode", "human_guided_train", "--grid", "NJ00",
+             "--config", "config.yaml"]
+        ) == 75
+        pre = Path("ckpts/human_guided/preempted.pth")
+        assert pre.exists()
+
+        monkeypatch.delenv("TERRA_GAN_TPU_FAULT")
+        assert run_cli(
+            ["--mode", "human_guided_train", "--grid", "NJ00",
+             "--config", "config.yaml"]
+        ) == 0
+        hg = torch.load(
+            sorted(Path("ckpts").glob("master_model_human_guided_*.pth"))[-1],
+            map_location="cpu", weights_only=False,
+        )
+        # the resumed run loaded the preempted HG weights, and consumed
+        # the file on completion
+        assert hg["source_model"] == str(pre)
+        assert not pre.exists()
 
     def test_vgg_provenance_tagged(self, workspace):
         """Every run and exported checkpoint records which VGG weights

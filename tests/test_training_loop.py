@@ -169,6 +169,11 @@ class TestCheckpoints:
         assert resolve_checkpoint(a, b, None) == b  # a missing -> master
         a.write_bytes(b"x")
         assert resolve_checkpoint(a, b, None) == a
+        # a preempted checkpoint outranks everything until consumed
+        p = tmp_path / "preempted.pth"
+        assert resolve_checkpoint(a, b, None, preempted=p) == a  # missing
+        p.write_bytes(b"x")
+        assert resolve_checkpoint(a, b, None, preempted=p) == p
 
     def test_pth_roundtrip_with_optimizer(self, tmp_path):
         """Full-width export must load into the reference torch model AND
@@ -373,7 +378,13 @@ class TestPreemption:
         assert ei.value.epoch == 0
         # one batch committed before the batch-1 preemption point
         assert int(ei.value.state.step) == 1
-        restored, extra = self._assert_preempted_ckpt(ckpt, tmp_path)
+        # latest state goes to a SIBLING preempted.pth — never over the
+        # master checkpoint (which holds best-model weights when it
+        # exists; here no epoch completed, so no master was written)
+        preempted = tmp_path / "preempted.pth"
+        assert ei.value.checkpoint == preempted
+        assert not ckpt.exists()
+        restored, extra = self._assert_preempted_ckpt(preempted, tmp_path)
         assert extra["epoch"] == 0
 
         # resume from the preempted checkpoint: completes the schedule
@@ -389,6 +400,9 @@ class TestPreemption:
         assert int(result["state"].step) == 1 + 4
         _, extra2 = import_pth(ckpt, restored)
         assert extra2.get("preempted") is not True
+        # the completed run consumed the preempted checkpoint
+        assert not preempted.exists()
+        assert not preempted.with_suffix(".orbax").exists()
 
     def test_sigterm_checkpoints_and_stops(self, tmp_path):
         """The actual signal path: SIGTERM mid-epoch (delivered while a
@@ -426,9 +440,45 @@ class TestPreemption:
                 tracker=SigtermOnFirstLog(),
             )
         assert ei.value.epoch == 0
-        self._assert_preempted_ckpt(ckpt, tmp_path)
+        self._assert_preempted_ckpt(tmp_path / "preempted.pth", tmp_path)
         # the guard restored whatever handler pytest had installed
         assert _signal.getsignal(_signal.SIGTERM) == prev
+
+    def test_preemption_preserves_best_master(self, tmp_path, monkeypatch):
+        """A preemption during a LATER (possibly worse) epoch must not
+        clobber the best-model master checkpoint the best-save contract
+        guarantees (train.py:314-397): epoch 0 completes and writes the
+        master; the epoch-1 preemption writes only preempted.pth."""
+        from terra_gan_tpu.training import TrainingPreempted
+
+        make_dirs(tmp_path)
+        cfg = tiny_config(tmp_path, epochs=3)
+        G, D = PConvUNet(base_width=8), Discriminator(base_width=8)
+        ckpt = tmp_path / "master_checkpoint.pth"
+
+        monkeypatch.setenv("TERRA_GAN_TPU_FAULT", "preempt@1:0")
+        with pytest.raises(TrainingPreempted) as ei:
+            train(
+                tmp_path / "train" / "images", tmp_path / "train" / "masks",
+                G, D, checkpoint_path=ckpt, config=cfg, image_size=64,
+            )
+        assert ei.value.epoch == 1
+
+        # master = epoch-0 best save, untouched by the preemption
+        template = GANTrainState.create(
+            PConvUNet(base_width=8), Discriminator(base_width=8),
+            jax.random.PRNGKey(9), sample_shape=(1, 64, 64, 1),
+        )
+        _, m_extra = import_pth(ckpt, template)
+        assert m_extra.get("preempted") is not True
+        assert m_extra["epoch"] == 0
+
+        # preempted.pth = the LATEST state (2 committed epoch-0 steps)
+        restored, p_extra = self._assert_preempted_ckpt(
+            tmp_path / "preempted.pth", tmp_path
+        )
+        assert p_extra["epoch"] == 1
+        assert int(restored.step) == 2
 
 
 class TestHumanGuided:
