@@ -125,6 +125,7 @@ class InpaintService:
         bf16: bool = True,
         base_width: int = 64,
         quant: Optional[str] = None,
+        calib_dir: Optional[str] = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -156,16 +157,28 @@ class InpaintService:
                 False,
             )
         self._fwd = self._make_fwd(self.generator)
-        # w8a8 eval quantization: scales are calibrated lazily on the
-        # first REAL request batch (random warmup data would misdo the
-        # activation ranges), then the forward is rebuilt against the
-        # quantized model — a fresh jit, because swapping
+        # w8a8 eval quantization: activation scales need REAL terrain
+        # data (random warmup data would misdo the ranges). Preferred:
+        # --calib-dir with sample tile/mask pairs, so the scales are
+        # fixed HERE and warmup() compiles the final quantized forward
+        # for every bucket before traffic arrives. Fallback: calibrate
+        # lazily on the first request batch, then immediately re-warm
+        # all buckets (one consolidated stall on that first request
+        # instead of a fresh compile stalling each bucket's first hit).
+        # Either way the rebuilt forward is a fresh jit — swapping
         # self.generator under the old jit would keep serving the
         # already-compiled bf16 executable for seen shapes.
         self._quant = quant
         self._quant_done = quant is None
         # warm the compile cache for every batch size bucket we emit
         self._buckets = sorted({1, max(1, max_batch // 4), max_batch})
+        if quant is not None and calib_dir:
+            if not self._calibrate_from_dir(calib_dir):
+                logger.warning(
+                    "no usable tile/mask pairs in --calib-dir %s; "
+                    "falling back to first-request calibration",
+                    calib_dir,
+                )
         self.batcher = MicroBatcher(self._infer, max_batch=max_batch)
 
     def _make_fwd(self, model):
@@ -189,11 +202,11 @@ class InpaintService:
 
         return jax.jit(_forward)
 
-    def _calibrate_quant(self, images: np.ndarray, masks: np.ndarray):
+    def _apply_quant_scales(self, x: np.ndarray, m: np.ndarray) -> None:
+        """Freeze w8a8 activation scales from (x, m) float batches and
+        rebuild the jitted forward against the quantized model."""
         from ..ops.quant import calibrate_quant_scales
 
-        x = images.astype(np.float32) / 255.0
-        m = masks.astype(np.float32)
         scales = calibrate_quant_scales(
             self.generator, self.variables, [(x * m, m)]
         )
@@ -202,18 +215,69 @@ class InpaintService:
         )
         self._fwd = self._make_fwd(self.generator)
         self._quant_done = True
-        logger.info(
-            "w8a8 activation scales calibrated on first batch (%d tiles)",
-            x.shape[0],
-        )
 
-    def warmup(self) -> None:
+    def _calibrate_from_dir(self, calib_dir: str) -> bool:
+        """Startup calibration from sample tiles: <stem>.png paired with
+        <stem>_mask_resized.png (the pipeline's split layout), either
+        flat in calib_dir or under calib_dir/{images,masks}."""
+        from ..evaluation.inference import _load_pair
+
+        d = Path(calib_dir)
+        img_dir, mask_dir = d, d
+        if not any(d.glob("*.png")) and (d / "images").is_dir():
+            img_dir, mask_dir = d / "images", d / "masks"
+        pairs = []
+        for img in sorted(img_dir.glob("*.png")):
+            if img.stem.endswith("_mask_resized"):
+                continue
+            mask = mask_dir / f"{img.stem}_mask_resized.png"
+            if mask.exists():
+                pairs.append((img, mask))
+            if len(pairs) == 16:
+                break
+        if not pairs:
+            return False
+        xs, ms = zip(*(_load_pair(i, m, self.size) for i, m in pairs))
+        self._apply_quant_scales(
+            np.concatenate(xs, axis=0), np.concatenate(ms, axis=0)
+        )
+        logger.info(
+            "w8a8 activation scales calibrated at startup from %d "
+            "tiles in %s", len(pairs), calib_dir,
+        )
+        return True
+
+    def _calibrate_quant(self, images: np.ndarray, masks: np.ndarray):
+        self._apply_quant_scales(
+            images.astype(np.float32) / 255.0, masks.astype(np.float32)
+        )
+        logger.info(
+            "w8a8 activation scales calibrated on first batch (%d "
+            "tiles); re-warming batch buckets %s against the quantized "
+            "forward (one-time; prefer --calib-dir to move this cost "
+            "to startup)", images.shape[0], self._buckets,
+        )
+        # without this, every bucket's FIRST quantized hit would stall a
+        # live request on a fresh compile (minutes through this
+        # environment's remote-compile relay)
+        self._warm_buckets()
+
+    def _warm_buckets(self) -> None:
         import jax.numpy as jnp
 
         for b in self._buckets:
             xm = jnp.zeros((b, self.size, self.size, 2), jnp.uint8)
             xm = xm.at[..., 1].set(1)
             float(self._fwd(self.variables, xm).sum())
+
+    def warmup(self) -> None:
+        if self._quant is not None and not self._quant_done:
+            logger.warning(
+                "warmup with --quant but no --calib-dir: compiling the "
+                "bf16 forward only; the first request pays calibration "
+                "plus the quantized recompile of all buckets"
+            )
+        self._warm_buckets()
         logger.info("warmed batch buckets %s", self._buckets)
 
     def _bucket(self, n: int) -> int:
@@ -433,9 +497,14 @@ def main(argv=None) -> int:
     p.add_argument("--fp32", action="store_true",
                    help="exact fp32 mode (default bf16 perf mode)")
     p.add_argument("--quant", choices=["w8a8"], default=None,
-                   help="int8 MXU eval mode; activation scales are "
-                        "calibrated on the first request batch "
-                        "(measured 1.18x at 512^2, hole-PSNR parity)")
+                   help="int8 MXU eval mode (measured 1.18x at 512^2, "
+                        "hole-PSNR parity); calibrates from --calib-dir "
+                        "at startup, else on the first request batch")
+    p.add_argument("--calib-dir", default=None,
+                   help="directory of sample tiles (<stem>.png + "
+                        "<stem>_mask_resized.png, flat or images/+masks/) "
+                        "for startup w8a8 calibration, so warmup compiles "
+                        "the final quantized forward before traffic")
     p.add_argument("--auth-secret", default=None,
                    help="HS256 JWT secret; defaults to the "
                         "TERRA_GAN_TPU_SERVING_SECRET env var. Unset = "
@@ -458,6 +527,7 @@ def main(argv=None) -> int:
         checkpoint=args.checkpoint, size=args.size, out_size=args.out_size,
         max_batch=args.max_batch, bf16=not args.fp32,
         base_width=args.base_width, quant=args.quant,
+        calib_dir=args.calib_dir,
     )
     service.warmup()
     server = make_server(

@@ -352,3 +352,85 @@ class TestGracefulDrain:
             urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/healthz", timeout=2
             )
+
+
+class TestQuantCalibration:
+    """w8a8 serving calibration (review finding: lazy calibration threw
+    away every warmup compile and recompiled each bucket inside a live
+    request)."""
+
+    def test_startup_calibration_from_dir(self, tmp_path):
+        """--calib-dir freezes the activation scales at init, so
+        warmup() compiles the FINAL quantized forward and the request
+        path never swaps the model."""
+        rng = np.random.default_rng(3)
+        for i in range(3):
+            img = rng.integers(0, 255, (64, 64), dtype=np.uint8)
+            mask = (rng.random((64, 64)) > 0.3).astype(np.uint8) * 255
+            Image.fromarray(img).save(tmp_path / f"t{i}.png")
+            Image.fromarray(mask).save(tmp_path / f"t{i}_mask_resized.png")
+
+        service = InpaintService(
+            size=64, out_size=64, max_batch=4, bf16=False, base_width=8,
+            quant="w8a8", calib_dir=str(tmp_path),
+        )
+        assert service._quant_done
+        assert service.generator.quant == "w8a8"
+        service.warmup()
+        fwd_after_warmup = service._fwd
+
+        out = service._infer(
+            rng.integers(0, 255, (1, 64, 64, 1), dtype=np.uint8),
+            (rng.random((1, 64, 64, 1)) > 0.3).astype(np.uint8),
+        )
+        # same jitted forward: no in-request rebuild/recompile
+        assert service._fwd is fwd_after_warmup
+        assert out.shape == (1, 64, 64, 1) and out.dtype == np.uint8
+
+    def test_startup_calibration_split_layout(self, tmp_path):
+        """calib_dir may also be a split directory (images/ + masks/)."""
+        rng = np.random.default_rng(5)
+        (tmp_path / "images").mkdir()
+        (tmp_path / "masks").mkdir()
+        Image.fromarray(
+            rng.integers(0, 255, (64, 64), dtype=np.uint8)
+        ).save(tmp_path / "images" / "a.png")
+        Image.fromarray(
+            (rng.random((64, 64)) > 0.3).astype(np.uint8) * 255
+        ).save(tmp_path / "masks" / "a_mask_resized.png")
+        service = InpaintService(
+            size=64, out_size=64, max_batch=4, bf16=False, base_width=8,
+            quant="w8a8", calib_dir=str(tmp_path),
+        )
+        assert service._quant_done and service.generator.quant == "w8a8"
+
+    def test_lazy_calibration_rewarms_all_buckets(self):
+        """Without --calib-dir, the first request calibrates and then
+        re-warms EVERY bucket against the quantized forward, so later
+        first-hits of other buckets reuse compiled executables."""
+        service = InpaintService(
+            size=64, out_size=64, max_batch=4, bf16=False, base_width=8,
+            quant="w8a8",
+        )
+        service.warmup()
+        assert not service._quant_done
+
+        warms = []
+        orig = service._warm_buckets
+        service._warm_buckets = lambda: (warms.append(1), orig())[-1]
+
+        rng = np.random.default_rng(4)
+        out = service._infer(
+            rng.integers(0, 255, (2, 64, 64, 1), dtype=np.uint8),
+            (rng.random((2, 64, 64, 1)) > 0.3).astype(np.uint8),
+        )
+        assert service._quant_done
+        assert service.generator.quant == "w8a8"
+        assert warms == [1]
+        assert out.shape == (2, 64, 64, 1)
+        # second request: no further calibration/warm cycles
+        service._infer(
+            rng.integers(0, 255, (4, 64, 64, 1), dtype=np.uint8),
+            (rng.random((4, 64, 64, 1)) > 0.3).astype(np.uint8),
+        )
+        assert warms == [1]
