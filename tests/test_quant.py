@@ -264,3 +264,47 @@ class TestQuantPlumbing:
         # second call reuses the calibrated fast path
         out2 = q_svc._infer(img, msk)
         np.testing.assert_array_equal(out, out2)
+
+    def test_inpaint_directory_quant_mesh(self, tmp_path):
+        """The quantized grid path composes with mesh sharding — the
+        production evaluate-mode case (evaluation.quant + --mesh).
+        Sharding is data-parallel over independent tiles, so outputs
+        must match the single-device quant run to <=1 uint8 level."""
+        from PIL import Image
+
+        from terra_gan_tpu.evaluation.inference import inpaint_directory
+        from terra_gan_tpu.parallel import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+
+        G = PConvUNet(base_width=16)
+        v = jax.jit(G.init, static_argnums=3)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 64, 1)), jnp.ones((1, 64, 64, 1)), False,
+        )
+        rng = np.random.default_rng(2)
+        (tmp_path / "images").mkdir()
+        (tmp_path / "masks").mkdir()
+        for i in range(10):  # non-divisible by 8: exercises pad+slice
+            Image.fromarray(
+                rng.integers(0, 255, (64, 64), dtype=np.uint8)
+            ).save(tmp_path / "images" / f"ns{i:04d}.png")
+            Image.fromarray(
+                ((rng.random((64, 64)) > 0.3) * 255).astype(np.uint8)
+            ).save(tmp_path / "masks" / f"ns{i:04d}_mask_resized.png")
+
+        solo = inpaint_directory(
+            G, v, tmp_path / "images", tmp_path / "masks",
+            tmp_path / "solo", model_size=64, out_size=64, quant="w8a8",
+        )
+        sharded = inpaint_directory(
+            G, v, tmp_path / "images", tmp_path / "masks",
+            tmp_path / "mesh", model_size=64, out_size=64, quant="w8a8",
+            mesh=make_mesh(8),
+        )
+        assert [p.name for p in sharded] == [p.name for p in solo]
+        for a, b in zip(sharded, solo):
+            qa = np.asarray(Image.open(a), np.int16)
+            qb = np.asarray(Image.open(b), np.int16)
+            assert np.abs(qa - qb).max() <= 1

@@ -259,6 +259,57 @@ class TestTrajectoryParity:
 
 
 @requires_ref
+class TestHGTrajectoryParity:
+    """Trajectory gate for the HUMAN-GUIDED fine-tune path (the GAN
+    gate above found a real D-gradient bug in r3 that every value-level
+    test missed; this gives the generator-only HG step — the REAL
+    production HumanGuidedTrainer._make_step, incl. HumanGuidedLoss
+    composition and the empty-human-mask skip gate — the same
+    trajectory-level protection vs the reference semantics
+    (human_guided_trainer.py:100-155, losses.py:132-204)).
+
+    Unlike the adversarial GAN curve, HG is single-network descent:
+    the f64 loss curve stays matched to ~1e-4 for all 20 steps
+    (measured NRMSE 6.7e-4). The deep-stage BN running VARIANCES still
+    amplify f64 roundoff chaotically (~1e3x/step, var over 2 values at
+    1x1 spatial: 7e-13 at step 0 -> 1.3 by step 7), so BN stats are
+    gated at step 2, where they are still semantically tight."""
+
+    def test_twenty_step_hg_trajectory_f64(self):
+        import json
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        script = Path(__file__).parent / "hg_trajectory_parity_main.py"
+        proc = subprocess.run(
+            [sys.executable, str(script)],
+            capture_output=True, text=True, timeout=1800,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        out = json.loads(proc.stdout.strip().splitlines()[-1])
+
+        assert out["steps"] == 20 and out["lr"] == 1e-4
+        # semantic exactness through the first three updates (observed
+        # 3e-12 / 7.6e-12 / 1.6e-10; margins ~1e2-1e3)
+        sd = out["stepdiff_loss"]
+        assert sd[0] <= 1e-9, sd
+        assert sd[1] <= 1e-9, sd
+        assert sd[2] <= 1e-7, sd
+        # BN running stats still tight at step 2 (observed 2e-6)
+        assert out["bn_stat_diff_step2"] <= 1e-3, out
+        # the full 20-step curve (observed NRMSE 6.7e-4 — an order
+        # tighter than the adversarial GAN gate, as there is no D/G
+        # amplification of the loss values)
+        assert out["nrmse_loss"] <= 1e-2, out
+        rel_final = abs(
+            out["final_loss_jax"] - out["final_loss_torch"]
+        ) / abs(out["final_loss_torch"])
+        assert rel_final <= 1e-2, out
+        assert out["max_param_diff"] < 2e-2, out
+
+
+@requires_ref
 class TestGradientParity:
     def test_generator_grads_match_torch(self, batch):
         """jax.grad of the G objective vs torch autograd, per block.
