@@ -26,6 +26,62 @@ def _get(d: Optional[Dict], *keys, default=None):
     return cur
 
 
+# Keys read anywhere (typed schema + raw-dict reads) per section. Only
+# the sections with a fixed schema are checked; mask_processing / data /
+# portal stay free-form like the reference treats them.
+_KNOWN_KEYS = {
+    "training": {
+        "loss_weights", "modes", "faithful_boundary_default", "remat",
+        "vgg_remat", "remat_stages", "async_checkpoint",
+        "vgg_weights_path", "compute_dtype", "log_interval",
+    },
+    "training.loss_weights": {"perceptual", "tv", "boundary"},
+    "training.modes": {"initial", "human_guided"},
+    "training.modes.initial": {
+        "epochs", "batch_size", "learning_rate", "log_interval",
+        "checkpoint_interval",
+    },
+    "training.modes.human_guided": {
+        "epochs", "batch_size", "learning_rate", "human_feedback_weight",
+        "base_loss_weight",
+    },
+    "evaluation": {
+        "metrics", "sampling", "checkpoint_dir", "checkpoint_file", "quant",
+    },
+    "evaluation.metrics": {
+        "iou_threshold", "precision_threshold", "recall_threshold",
+        "boundary_size",
+    },
+}
+
+
+def _warn_unknown_keys(d: Dict[str, Any]) -> None:
+    """Warn (never fail — forward compat like the reference's loose
+    .get() reads) about config keys no code path reads: a typo like
+    `remat_stage` would otherwise silently fall back to the default."""
+    import difflib
+    import logging
+
+    log = logging.getLogger(__name__)
+    for section, known in _KNOWN_KEYS.items():
+        sub = d
+        for part in section.split("."):
+            sub = sub.get(part) if isinstance(sub, dict) else None
+            if sub is None:
+                break
+        if not isinstance(sub, dict):
+            continue
+        for key in sub:
+            if key in known:
+                continue
+            hint = difflib.get_close_matches(key, known, n=1)
+            log.warning(
+                "config: unknown key %s.%s is not read by anything%s",
+                section, key,
+                f" — did you mean {hint[0]!r}?" if hint else "",
+            )
+
+
 @dataclass
 class LossWeights:
     perceptual: float = 0.1
@@ -257,6 +313,7 @@ class Config:
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        _warn_unknown_keys(d)
         return cls(
             training=TrainingConfig.from_dict(_get(d, "training", default={})),
             evaluation=EvaluationConfig.from_dict(_get(d, "evaluation", default={})),
