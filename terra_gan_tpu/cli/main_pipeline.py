@@ -457,10 +457,7 @@ def run_human_guided_training_mode(
     master_dir.mkdir(parents=True, exist_ok=True)
     save_pth(master_dir / f"master_model_human_guided_{stamp}.pth", ckpt)
     save_pth(master_dir / "master_checkpoint.pth", ckpt)
-    if hg_preempted.exists():
-        # completed run supersedes the interrupted state it resumed from
-        hg_preempted.unlink()
-        logger.info("consumed preempted HG checkpoint %s", hg_preempted)
+    # (the trainer consumed its preempted.pth on successful completion)
     logger.info("human-guided training complete: best_loss=%s", result["best_loss"])
 
     # optional portal cleanup (main_pipeline.py:751-790)

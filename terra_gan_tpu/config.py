@@ -10,11 +10,14 @@ forward-compat keys.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Dict, Optional
 
 import yaml
+
+logger = logging.getLogger(__name__)
 
 
 def _get(d: Optional[Dict], *keys, default=None):
@@ -60,9 +63,7 @@ def _warn_unknown_keys(d: Dict[str, Any]) -> None:
     .get() reads) about config keys no code path reads: a typo like
     `remat_stage` would otherwise silently fall back to the default."""
     import difflib
-    import logging
 
-    log = logging.getLogger(__name__)
     for section, known in _KNOWN_KEYS.items():
         sub = d
         for part in section.split("."):
@@ -75,7 +76,7 @@ def _warn_unknown_keys(d: Dict[str, Any]) -> None:
             if key in known:
                 continue
             hint = difflib.get_close_matches(key, known, n=1)
-            log.warning(
+            logger.warning(
                 "config: unknown key %s.%s is not read by anything%s",
                 section, key,
                 f" — did you mean {hint[0]!r}?" if hint else "",

@@ -45,6 +45,19 @@ def load_generator_variables(checkpoint_path: str | Path) -> Dict[str, Any]:
     return torch_state_to_generator_vars(sd)
 
 
+def iter_tile_pairs(images_dir: str | Path, masks_dir: str | Path):
+    """Yield (image_path, mask_path_or_None) for every ``<stem>.png``
+    tile, paired via the split-directory convention
+    ``<stem>_mask_resized.png`` (shared by grid inference and serving
+    calibration)."""
+    masks_dir = Path(masks_dir)
+    for img_path in sorted(Path(images_dir).glob("*.png")):
+        if img_path.stem.endswith("_mask_resized"):
+            continue
+        mask_path = masks_dir / f"{img_path.stem}_mask_resized.png"
+        yield img_path, (mask_path if mask_path.exists() else None)
+
+
 def _open_gray(path: str | Path) -> Image.Image:
     """Grayscale PIL image via the native gray8 PNG decoder when the
     file is one of the pipeline's own tiles (measured ~1.6x faster than
@@ -175,14 +188,11 @@ def inpaint_directory(
     output_dir.mkdir(parents=True, exist_ok=True)
 
     pairs = []
-    for img_path in sorted(images_dir.glob("*.png")):
-        if img_path.stem.endswith("_mask_resized"):
-            continue
-        mask_path = masks_dir / f"{img_path.stem}_mask_resized.png"
-        if mask_path.exists():
-            pairs.append((img_path, mask_path))
-        else:
+    for img_path, mask_path in iter_tile_pairs(images_dir, masks_dir):
+        if mask_path is None:
             logger.warning("no mask for %s", img_path.stem)
+        else:
+            pairs.append((img_path, mask_path))
     if not pairs:
         return []
 

@@ -220,21 +220,19 @@ class InpaintService:
         """Startup calibration from sample tiles: <stem>.png paired with
         <stem>_mask_resized.png (the pipeline's split layout), either
         flat in calib_dir or under calib_dir/{images,masks}."""
-        from ..evaluation.inference import _load_pair
+        import itertools
+
+        from ..evaluation.inference import _load_pair, iter_tile_pairs
 
         d = Path(calib_dir)
         img_dir, mask_dir = d, d
         if not any(d.glob("*.png")) and (d / "images").is_dir():
             img_dir, mask_dir = d / "images", d / "masks"
-        pairs = []
-        for img in sorted(img_dir.glob("*.png")):
-            if img.stem.endswith("_mask_resized"):
-                continue
-            mask = mask_dir / f"{img.stem}_mask_resized.png"
-            if mask.exists():
-                pairs.append((img, mask))
-            if len(pairs) == 16:
-                break
+        pairs = list(itertools.islice(
+            ((i, m) for i, m in iter_tile_pairs(img_dir, mask_dir)
+             if m is not None),
+            16,
+        ))
         if not pairs:
             return False
         xs, ms = zip(*(_load_pair(i, m, self.size) for i, m in pairs))

@@ -228,6 +228,13 @@ class HumanGuidedTrainer:
                 "HG epoch %d: loss=%.6f time=%.2fs", epoch, avg, epoch_time
             )
 
+        # a completed fine-tune supersedes any preempted.pth it resumed
+        # from (same discipline as training/loop.py:_remove_preempted)
+        preempted = checkpoint_dir / "preempted.pth"
+        if preempted.exists():
+            preempted.unlink()
+            logger.info("consumed preempted HG checkpoint %s", preempted)
+
         return {
             "best_loss": best_loss if np.isfinite(best_loss) else None,
             "total_time": time.time() - t0,
