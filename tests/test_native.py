@@ -147,3 +147,31 @@ class TestPngCodec:
         # not a PNG at all
         assert png_decode_gray8(b"definitely not a png") is None
         assert png_decode_gray8(b"") is None
+
+    def test_shape_fuzz_roundtrip(self):
+        """Edge shapes are the classic codec killers: 1x1, Nx1, 1xN,
+        odd primes, and width just over a zlib block boundary — every
+        one must roundtrip pixel-exact natively AND decode identically
+        via PIL."""
+        import io
+        from PIL import Image
+        from terra_gan_tpu.utils.native import (
+            png_decode_gray8, png_encode_gray8,
+        )
+
+        rng = np.random.default_rng(11)
+        shapes = [(1, 1), (1, 7), (7, 1), (3, 257), (257, 3),
+                  (131, 251), (1, 512), (512, 1)]
+        shapes += [tuple(rng.integers(1, 300, 2)) for _ in range(20)]
+        for shape in shapes:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            for filt in (0, 1, 2):
+                data = png_encode_gray8(img, filter=filt)
+                assert data is not None, shape
+                np.testing.assert_array_equal(
+                    png_decode_gray8(data), img, err_msg=str(shape)
+                )
+                np.testing.assert_array_equal(
+                    np.atleast_2d(np.asarray(Image.open(io.BytesIO(data)))),
+                    img, err_msg=str(shape),
+                )
