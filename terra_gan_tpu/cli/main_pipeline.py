@@ -506,6 +506,14 @@ def main(argv=None) -> int:
         logger.debug("persistent compile cache unavailable: %s", e)
     cfg = _load_config(args.config)
 
+    # multi-host pods: join the process group BEFORE any device use when
+    # the coordinator env vars are set (no-op otherwise). `--mesh auto`
+    # then spans the GLOBAL device list; see parallel/distributed.py
+    # for the per-host data recipe.
+    from ..parallel import initialize_from_env
+
+    initialize_from_env()
+
     mesh = None
     if args.mesh:
         from ..parallel import parse_mesh_arg

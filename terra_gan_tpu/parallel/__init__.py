@@ -1,5 +1,11 @@
 """Mesh/sharding layer (TPU-native replacement for SURVEY §2.4/§5.8)."""
 
+from .distributed import (
+    global_batch_from_local,
+    initialize_from_env,
+    is_multiprocess,
+    process_shard,
+)
 from .infer import BatchedInpainter
 from .mesh import (
     DATA_AXIS,
@@ -18,6 +24,10 @@ from .mesh import (
 __all__ = [
     "BatchedInpainter",
     "DATA_AXIS",
+    "global_batch_from_local",
+    "initialize_from_env",
+    "is_multiprocess",
+    "process_shard",
     "SPATIAL_AXIS",
     "auto_spatial",
     "batch_sharding",
