@@ -263,6 +263,16 @@ def run_training_mode(
             failed.append(parent)
 
     # final master checkpoint + timestamped copy (main_pipeline.py:386-412)
+    from ..parallel import is_primary_process
+
+    if not is_primary_process():
+        # multi-host: the state is replicated — process 0 owns all
+        # checkpoint writes (same single-writer rule as training/loop)
+        logger.info(
+            "training done: %d grids ok, %d failed (checkpoints "
+            "written by process 0)", len(successful), len(failed),
+        )
+        return bool(successful)
     ckpt_path = _master_checkpoint_path(cfg)
     ckpt_path.parent.mkdir(parents=True, exist_ok=True)
     export_pth(
@@ -529,7 +539,13 @@ def main(argv=None) -> int:
         )
 
     tracker = None
-    if not args.no_tracking and cfg.experiment_tracking.enabled:
+    from ..parallel import is_primary_process
+
+    if (
+        not args.no_tracking
+        and cfg.experiment_tracking.enabled
+        and is_primary_process()  # one tracked run per pod, not per host
+    ):
         from ..tracking import ExperimentTracker
 
         tracker = ExperimentTracker(cfg)

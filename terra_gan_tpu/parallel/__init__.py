@@ -4,6 +4,7 @@ from .distributed import (
     global_batch_from_local,
     initialize_from_env,
     is_multiprocess,
+    is_primary_process,
     process_shard,
 )
 from .infer import BatchedInpainter
@@ -27,6 +28,7 @@ __all__ = [
     "global_batch_from_local",
     "initialize_from_env",
     "is_multiprocess",
+    "is_primary_process",
     "process_shard",
     "SPATIAL_AXIS",
     "auto_spatial",

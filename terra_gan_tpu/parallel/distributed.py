@@ -86,6 +86,13 @@ def is_multiprocess() -> bool:
     return jax.process_count() > 1
 
 
+def is_primary_process() -> bool:
+    """True on the process that should own side effects every host
+    would otherwise duplicate (checkpoint writes, experiment tracking).
+    Always True single-process."""
+    return jax.process_index() == 0
+
+
 def process_shard(
     items: Sequence,
     process_index: Optional[int] = None,

@@ -160,8 +160,25 @@ def shard_batch(
     shard_spatial: bool = False,
     shard_data: bool = True,
 ) -> Dict[str, jax.Array]:
-    """Place a host batch dict onto the mesh, sharded over tiles."""
+    """Place a host batch dict onto the mesh, sharded over tiles.
+
+    Works in multi-host runs too: every process passes the IDENTICAL
+    global batch (deterministic seeded loaders make this free — see
+    parallel/distributed.py), and each contributes only its addressable
+    shards via make_array_from_callback, which handles any (data,
+    spatial, replicated) layout. Hosts with disjoint per-process data
+    should use distributed.global_batch_from_local instead."""
     sharding = batch_sharding(mesh, shard_spatial, shard_data)
+    if jax.process_count() > 1:
+        import numpy as np
+
+        out = {}
+        for k, v in batch.items():
+            v = np.asarray(v)
+            out[k] = jax.make_array_from_callback(
+                v.shape, sharding, lambda idx, _v=v: _v[idx]
+            )
+        return out
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 

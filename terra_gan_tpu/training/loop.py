@@ -516,6 +516,10 @@ def _remove_preempted(pth_path: Path) -> None:
     """Delete a consumed preempted checkpoint (.pth + .orbax sibling)."""
     import shutil
 
+    import jax
+
+    if jax.process_index() != 0:  # mirror _save's single-writer rule
+        return
     try:
         if pth_path.exists():
             pth_path.unlink()
@@ -528,7 +532,15 @@ def _remove_preempted(pth_path: Path) -> None:
 
 
 def _save(path: Path, state, epoch, lr, config, extra):
-    """Dual-format save: orbax native dir + reference-layout .pth."""
+    """Dual-format save: orbax native dir + reference-layout .pth.
+
+    Multi-host runs write from process 0 only: the state is replicated,
+    so every host would produce the same bytes — and race on a shared
+    filesystem."""
+    import jax
+
+    if jax.process_index() != 0:
+        return
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     try:
