@@ -336,6 +336,27 @@ def run_evaluation_mode(
         logger.error("no processed parent grids found")
         return False
 
+    from ..parallel import is_multiprocess, process_shard
+
+    multihost = is_multiprocess()
+    if multihost:
+        # inference is collective-free: each host takes a disjoint
+        # share of the grids and runs over its LOCAL devices (the
+        # BatchedInpainter enforces the local mesh)
+        import jax
+
+        from ..parallel import make_mesh
+
+        parents = process_shard(parents, equalize=False)
+        if mesh is not None:
+            mesh = make_mesh(devices=jax.local_devices())
+        logger.info(
+            "multi-host evaluate: %d grid(s) on this host%s",
+            len(parents),
+            f" over {jax.local_device_count()} local devices"
+            if mesh is not None else "",
+        )
+
     G, _ = _build_models(cfg)
     variables = load_generator_variables(model_path)
     total = 0
@@ -358,7 +379,8 @@ def run_evaluation_mode(
             ).recolor_all()
         logger.info("%s: %d tiles inpainted + colorized", parent, len(outs))
         total += len(outs)
-    return total > 0
+    # a pod host whose round-robin share is empty did its job
+    return total > 0 or (multihost and not parents)
 
 
 # ---------------------------------------------------------------------------

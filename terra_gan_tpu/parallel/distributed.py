@@ -97,21 +97,27 @@ def process_shard(
     items: Sequence,
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
+    equalize: bool = True,
 ) -> list:
-    """Disjoint, equal-sized subset of ``items`` for this process.
+    """Disjoint subset of ``items`` for this process (round-robin).
 
-    Round-robin by process index, truncated to the minimum per-process
-    count: every host must run the SAME number of steps, or the hosts
-    with more batches block forever in collectives waiting for the
-    exhausted ones. The dropped remainder is at most
-    ``process_count - 1`` items per epoch (log the loss of coverage at
-    the call site if it matters; reshuffling each epoch rotates which
-    items are dropped).
+    With ``equalize`` (the default, for TRAINING data), the shards are
+    truncated to the minimum per-process count: every host must run the
+    SAME number of steps, or the hosts with more batches block forever
+    in collectives waiting for the exhausted ones. The dropped
+    remainder is at most ``process_count - 1`` items per epoch
+    (reshuffling each epoch rotates which items are dropped).
+
+    Pass ``equalize=False`` for collective-free work (e.g. per-host
+    grid inference), where uneven shards are harmless and nothing
+    should be dropped.
     """
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
-    per = len(items) // pc
-    return list(items[pi::pc][:per])
+    mine = list(items[pi::pc])
+    if equalize:
+        mine = mine[: len(items) // pc]
+    return mine
 
 
 def global_batch_from_local(

@@ -49,6 +49,23 @@ class BatchedInpainter:
         dominates on this environment's relay tunnel (8 MB/s fetch,
         BASELINE.md)."""
         self.generator = generator
+        if jax.process_count() > 1:
+            # Inference is embarrassingly parallel over tiles: on a pod,
+            # each host inpaints its own share over its LOCAL devices
+            # (process_shard the work; see cli run_evaluation_mode) —
+            # sharding one batch across hosts would only add ICI/DCN
+            # coordination AND make the output fetch non-addressable.
+            if mesh is not None and any(
+                d.process_index != jax.process_index()
+                for d in mesh.devices.flat
+            ):
+                raise ValueError(
+                    "BatchedInpainter needs a host-local mesh in "
+                    "multi-process runs: pass make_mesh(devices=jax."
+                    "local_devices()) and process_shard the tile list"
+                )
+            if mesh is None:
+                mesh = make_mesh(devices=jax.local_devices())
         self.mesh = mesh if mesh is not None else make_mesh()
         self.chunk = chunk
         self.n_dev = self.mesh.shape["data"] * self.mesh.shape["spatial"]

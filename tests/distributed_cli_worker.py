@@ -23,9 +23,10 @@ jax.config.update("jax_platforms", "cpu")
 
 def main() -> int:
     os.chdir(sys.argv[1])
+    mode = sys.argv[2] if len(sys.argv) > 2 else "train"
     from terra_gan_tpu.cli.main_pipeline import main as cli_main
 
-    return cli_main(["--mode", "train", "--config", "config.yaml",
+    return cli_main(["--mode", mode, "--config", "config.yaml",
                      "--mesh", "8"])
 
 

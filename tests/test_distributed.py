@@ -242,3 +242,40 @@ class TestTwoProcessCLI:
             diff = np.abs(got - want)
             assert diff.max() <= 1e-3, (key, diff.max())
             assert diff.mean() <= 1e-5, (key, diff.mean())
+
+        # ---- multi-host evaluate: grids round-robin per host, local
+        # meshes (1 grid, 2 hosts: host 0 inpaints it, host 1's share
+        # is legitimately empty — both must exit 0)
+        import shutil
+
+        shutil.copytree(tmp_path / "ws0" / "ckpts", tmp_path / "ws1" / "ckpts")
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs = []
+        for pid in range(2):
+            env = dict(os.environ)
+            env.update({
+                "TERRA_GAN_TPU_COORDINATOR": f"localhost:{port}",
+                "TERRA_GAN_TPU_NUM_PROCESSES": "2",
+                "TERRA_GAN_TPU_PROCESS_ID": str(pid),
+            })
+            env.pop("XLA_FLAGS", None)
+            procs.append(subprocess.Popen(
+                [sys.executable, str(script), str(tmp_path / f"ws{pid}"),
+                 "evaluate"],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, env=env,
+            ))
+        for p, pid in zip(procs, range(2)):
+            _, err = p.communicate(timeout=900)
+            assert p.returncode == 0, f"eval proc {pid}: {err[-2000:]}"
+        ws0_out = list(
+            (tmp_path / "ws0" / "data/output/NJ00/inpainted").glob("*.png")
+        )
+        assert ws0_out, "host 0 should have inpainted its grid share"
+        # host 1's share was empty: no tiles written (the directory
+        # itself may pre-exist from the train phase's path setup)
+        assert not list(
+            (tmp_path / "ws1" / "data/output/NJ00/inpainted").glob("*.png")
+        )
