@@ -585,6 +585,14 @@ def main(argv=None) -> int:
             ok = run_evaluation_mode(
                 cfg, args.input_model, args.grid, tracker, mesh=mesh
             )
+        elif not is_primary_process():
+            # HG fine-tune is a small single-host workload (annotation
+            # batches); on a pod only process 0 runs it — duplicating
+            # it per host would double-write the master on shared FS
+            logger.info(
+                "human-guided training runs on process 0 only; idling"
+            )
+            ok = True
         else:
             ok = run_human_guided_training_mode(
                 cfg, args.input_model, args.grid, tracker
