@@ -75,12 +75,38 @@ def main() -> None:
 
     state, metrics = step(state, batch, random_weights(0))
     jax.block_until_ready(state)
+
+    # second config: (data=4, spatial=2) with H sharding, through the
+    # identical-copy shard_batch path (every process passes the full
+    # global batch; make_array_from_callback slices addressable shards)
+    from terra_gan_tpu.parallel import shard_batch
+
+    mesh_sp = make_mesh(jax.device_count(), spatial=2)
+    step_sp = shard_train_step(
+        make_train_step(
+            G, D, adam(), adam(),
+            InpaintingLossConfig(perceptual_weight=0.1),
+            jit_compile=False,
+        ),
+        mesh_sp,
+        shard_spatial=True,
+    )
+    state_sp = GANTrainState.create(
+        G, D, jax.random.PRNGKey(0), sample_shape=(2, 64, 64, 1)
+    )
+    batch_sp = shard_batch(
+        {"image": image, "mask": mask}, mesh_sp, shard_spatial=True
+    )
+    state_sp, m_sp = step_sp(state_sp, batch_sp, random_weights(0))
+    jax.block_until_ready(state_sp)
+
     print(json.dumps({
         "pid": pid,
         "global_devices": jax.device_count(),
         "g_loss": float(metrics["g_loss"]),
         "d_loss": float(metrics["d_loss"]),
         "step": int(state.step),
+        "g_loss_spatial": float(m_sp["g_loss"]),
     }), flush=True)
 
 

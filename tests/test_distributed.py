@@ -78,6 +78,27 @@ class TestTwoProcessTrainStep:
         _, ref = step(state, shard_batch(batch, mesh), random_weights(0))
         ref_g, ref_d = float(ref["g_loss"]), float(ref["d_loss"])
 
+        # spatial reference: (data=4, spatial=2) with H sharding
+        mesh_sp = make_mesh(8, spatial=2)
+        step_sp = shard_train_step(
+            make_train_step(
+                G, D, adam(), adam(),
+                InpaintingLossConfig(perceptual_weight=0.1),
+                jit_compile=False,
+            ),
+            mesh_sp,
+            shard_spatial=True,
+        )
+        state_sp = GANTrainState.create(
+            G, D, jax.random.PRNGKey(0), sample_shape=(2, 64, 64, 1)
+        )
+        _, ref_sp = step_sp(
+            state_sp,
+            shard_batch(batch, mesh_sp, shard_spatial=True),
+            random_weights(0),
+        )
+        ref_g_sp = float(ref_sp["g_loss"])
+
         # ---- two real processes, 4 virtual devices each
         with socket.socket() as s:
             s.bind(("localhost", 0))
@@ -111,8 +132,14 @@ class TestTwoProcessTrainStep:
             # reduce in a different order than in-process ones)
             assert abs(got["g_loss"] - ref_g) <= 2e-5 * max(1, abs(ref_g))
             assert abs(got["d_loss"] - ref_d) <= 2e-5 * max(1, abs(ref_d))
+            # spatial (data=4, spatial=2) H-sharded config, fed through
+            # the identical-copy multi-process shard_batch path
+            assert abs(got["g_loss_spatial"] - ref_g_sp) <= (
+                2e-5 * max(1, abs(ref_g_sp))
+            )
         # both processes observed the identical global metrics
         assert outs[0]["g_loss"] == outs[1]["g_loss"]
+        assert outs[0]["g_loss_spatial"] == outs[1]["g_loss_spatial"]
 
 
 def _build_workspace(root: Path, grid_wh: int = 4) -> None:
