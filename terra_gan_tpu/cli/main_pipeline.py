@@ -189,6 +189,16 @@ def run_training_mode(
 
     pm = PathManager(cfg)
     G, D, state = _init_master_state(cfg, input_model)
+    from ..parallel import broadcast_from_primary, is_multiprocess
+
+    if is_multiprocess():
+        # single-writer rule's other half: only process 0 is guaranteed
+        # to find the master/preempted checkpoint on per-host
+        # filesystems — broadcast its loaded state so every host starts
+        # from the SAME weights (else psums silently mix gradients
+        # computed against different parameters)
+        state = broadcast_from_primary(state)
+        logger.info("multi-host: state broadcast from process 0")
     # NOTE r2 default flip: training previously always rematerialized;
     # remat now follows training.remat (default off — measured +42%
     # throughput at the production batch, BASELINE.md). Surfaced here so
@@ -348,13 +358,27 @@ def run_evaluation_mode(
         from ..parallel import make_mesh
 
         parents = process_shard(parents, equalize=False)
+        if not parents:
+            # this host's round-robin share is empty: done (skip the
+            # model load entirely)
+            logger.info("multi-host evaluate: no grids for this host")
+            return True
         if mesh is not None:
-            mesh = make_mesh(devices=jax.local_devices())
+            # rebuild the REQUESTED (data, spatial) geometry per host
+            # when it fits the local devices; else use them all
+            local = jax.local_devices()
+            d, s = mesh.shape["data"], mesh.shape["spatial"]
+            if d * s <= len(local):
+                mesh = make_mesh(d * s, spatial=s, devices=local)
+            else:
+                mesh = make_mesh(devices=local)
+            logger.info(
+                "multi-host evaluate: --mesh rebuilt on local devices "
+                "(data=%d spatial=%d)",
+                mesh.shape["data"], mesh.shape["spatial"],
+            )
         logger.info(
-            "multi-host evaluate: %d grid(s) on this host%s",
-            len(parents),
-            f" over {jax.local_device_count()} local devices"
-            if mesh is not None else "",
+            "multi-host evaluate: %d grid(s) on this host", len(parents)
         )
 
     G, _ = _build_models(cfg)
@@ -379,8 +403,7 @@ def run_evaluation_mode(
             ).recolor_all()
         logger.info("%s: %d tiles inpainted + colorized", parent, len(outs))
         total += len(outs)
-    # a pod host whose round-robin share is empty did its job
-    return total > 0 or (multihost and not parents)
+    return total > 0
 
 
 # ---------------------------------------------------------------------------
@@ -406,7 +429,15 @@ def run_human_guided_training_mode(
 
     ckpt_dir = Path(cfg.evaluation.checkpoint_dir) / "human_guided"
     hg_preempted = ckpt_dir / "preempted.pth"
-    if hg_preempted.exists():
+    # source_model records the TRUE lineage (the model the fine-tune
+    # originally started from) even across a preemption resume — the
+    # preempted.pth is consumed on completion, so its path would be a
+    # dangling provenance reference
+    source_model = (
+        Path(input_model) if input_model else _master_checkpoint_path(cfg)
+    )
+    resumed_from_preemption = hg_preempted.exists()
+    if resumed_from_preemption:
         # a previous HG run was interrupted mid-fine-tune: resume from
         # its latest weights, not the pre-HG source model — otherwise
         # "re-run the same command" would silently discard the completed
@@ -417,9 +448,7 @@ def run_human_guided_training_mode(
         )
         model_path = hg_preempted
     else:
-        model_path = (
-            Path(input_model) if input_model else _master_checkpoint_path(cfg)
-        )
+        model_path = source_model
     if not model_path.exists():
         logger.error("no model for human-guided training: %s", model_path)
         return False
@@ -479,7 +508,8 @@ def run_human_guided_training_mode(
             jax.tree.map(np.asarray, out_vars)
         ),
         "human_guided": True,
-        "source_model": str(model_path),
+        "source_model": str(source_model),
+        "resumed_from_preemption": resumed_from_preemption,
         "grid_square": grid,
         "best_loss": result["best_loss"],
         "config": cfg.raw,

@@ -131,12 +131,17 @@ class BatchLoader:
         seed: int = 0,
         drop_last: bool = False,
         prefetch: int = 2,
+        strict: bool = False,
     ):
+        """strict: raise on a failed batch instead of skipping it —
+        required in multi-host training, where a skip on one host
+        shifts its batch sequence out of collective lockstep."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.strict = strict
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
@@ -182,6 +187,13 @@ class BatchLoader:
                         q.put(self._collate(items))
                         produced += 1
                     except Exception as e:
+                        if self.strict:
+                            # multi-host lockstep: surface in the
+                            # consumer instead of silently shifting
+                            # this host's batch sequence
+                            q.put(("__error__", e))
+                            q.put(SENTINEL)
+                            return
                         # skip the bad batch, keep the epoch going —
                         # the reference logs and continues per batch
                         # (train.py:268-270); without this, one corrupt
@@ -206,7 +218,8 @@ class BatchLoader:
             if isinstance(item, tuple) and item and item[0] == "__error__":
                 t.join()
                 raise RuntimeError(
-                    "every batch failed to load"
+                    "batch load failed in strict mode"
+                    if self.strict else "every batch failed to load"
                 ) from item[1]
             yield item
         t.join()

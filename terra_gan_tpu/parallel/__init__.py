@@ -1,6 +1,8 @@
 """Mesh/sharding layer (TPU-native replacement for SURVEY §2.4/§5.8)."""
 
 from .distributed import (
+    any_process,
+    broadcast_from_primary,
     global_batch_from_local,
     initialize_from_env,
     is_multiprocess,
@@ -24,6 +26,8 @@ from .mesh import (
 
 __all__ = [
     "BatchedInpainter",
+    "any_process",
+    "broadcast_from_primary",
     "DATA_AXIS",
     "global_batch_from_local",
     "initialize_from_env",

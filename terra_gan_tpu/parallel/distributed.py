@@ -70,8 +70,15 @@ def initialize_from_env() -> bool:
     coord = os.environ.get(_ENV_COORDINATOR)
     if not coord:
         return False
-    num = int(os.environ[_ENV_NUM_PROCESSES])
-    pid = int(os.environ[_ENV_PROCESS_ID])
+    try:
+        num = int(os.environ[_ENV_NUM_PROCESSES])
+        pid = int(os.environ[_ENV_PROCESS_ID])
+    except KeyError as e:
+        raise RuntimeError(
+            f"{_ENV_COORDINATOR} is set but {e.args[0]} is not — "
+            f"multi-host runs need all three of {_ENV_COORDINATOR}, "
+            f"{_ENV_NUM_PROCESSES}, {_ENV_PROCESS_ID}"
+        ) from e
     jax.distributed.initialize(
         coordinator_address=coord, num_processes=num, process_id=pid
     )
@@ -91,6 +98,73 @@ def is_primary_process() -> bool:
     would otherwise duplicate (checkpoint writes, experiment tracking).
     Always True single-process."""
     return jax.process_index() == 0
+
+
+_barrier_seq = 0
+
+
+def coordination_barrier(name: str, timeout_s: float = 900.0) -> None:
+    """Host-level barrier via the coordination service (NOT gloo).
+
+    XLA's CPU cross-process collectives rendezvous through gloo with a
+    HARD 30 s context-init timeout: if one process reaches a program's
+    first collective >30 s before its peers (checkpoint load, a
+    compile-cache race, one host's slower startup), the whole group
+    dies with "Gloo context initialization failed". The coordination
+    service barrier has a configurable timeout, so lockstep-critical
+    phases call this first to absorb startup skew before entering the
+    30 s-fused gloo rendezvous. (TPU pods rendezvous through the TPU
+    runtime, not gloo — there this is just a cheap alignment point.)
+    No-op single-process."""
+    if not is_multiprocess():
+        return
+    global _barrier_seq
+    _barrier_seq += 1
+    try:
+        from jax._src import distributed as _dist
+
+        client = _dist.global_state.client
+        if client is None:  # pragma: no cover - initialized elsewhere
+            return
+        # unique id per call: coordination barriers are one-shot
+        client.wait_at_barrier(
+            f"terra_gan:{name}:{_barrier_seq}", int(timeout_s * 1000)
+        )
+    except ImportError as e:  # pragma: no cover - private-API drift
+        logger.warning("coordination barrier unavailable: %s", e)
+
+
+def broadcast_from_primary(tree):
+    """Replace every array leaf with process 0's value.
+
+    Re-establishes the replicated-state invariant on multi-host RESUME:
+    process 0 owns all checkpoint writes (the single-writer rule), so
+    on a pod with per-host filesystems only process 0 finds the master
+    or preempted.pth — without this broadcast, each host would load a
+    DIFFERENT starting state and the psums would silently mix gradients
+    computed against different weights. No-op single-process."""
+    if not is_multiprocess():
+        return tree
+    from jax.experimental import multihost_utils
+
+    # absorb startup skew (checkpoint load happens on process 0 only)
+    # before gloo's unforgiving 30 s rendezvous window
+    coordination_barrier("broadcast_from_primary")
+    return multihost_utils.broadcast_one_to_all(tree)
+
+
+def any_process(flag: bool) -> bool:
+    """Host-level OR across the process group (True single-process iff
+    flag). Keeps per-host control flow in lockstep: a preemption signal
+    or failure seen by ONE host must stop/affect EVERY host at the same
+    batch boundary, or the others deadlock in the next collective."""
+    if not is_multiprocess():
+        return bool(flag)
+    from jax.experimental import multihost_utils
+
+    return bool(
+        multihost_utils.process_allgather(np.asarray([bool(flag)])).any()
+    )
 
 
 def process_shard(

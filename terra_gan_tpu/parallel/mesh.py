@@ -170,8 +170,6 @@ def shard_batch(
     should use distributed.global_batch_from_local instead."""
     sharding = batch_sharding(mesh, shard_spatial, shard_data)
     if jax.process_count() > 1:
-        import numpy as np
-
         out = {}
         for k, v in batch.items():
             v = np.asarray(v)

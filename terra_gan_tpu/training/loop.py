@@ -237,13 +237,26 @@ def train(
     batch_size = tcfg.initial.batch_size
     lr = tcfg.initial.learning_rate
 
+    # multi-host: per-host control flow must stay in lockstep — a host
+    # that skips or stops at a batch the others run deadlocks them in
+    # the next collective (parallel/distributed.py)
+    import jax as _jax
+
+    multihost = _jax.process_count() > 1
+    if multihost:
+        from ..parallel import any_process
+    else:
+        any_process = bool
+
     dataset = InpaintingDataset(img_dir, mask_dir, size=image_size)
     # torch DataLoader default keeps the partial tail batch
     # (train.py:75-81, drop_last unset); each distinct tail shape costs
-    # one extra jit compile, which the persistent cache absorbs
+    # one extra jit compile, which the persistent cache absorbs.
+    # strict under multi-host: a producer-side batch skip on one host
+    # would silently shift its batch sequence out of lockstep
     loader = BatchLoader(
         dataset, batch_size=batch_size, shuffle=True, seed=seed,
-        drop_last=False,
+        drop_last=False, strict=multihost,
     )
     val_loader = None
     if val_img_dir and val_mask_dir:
@@ -330,7 +343,10 @@ def train(
             last_err: Optional[Exception] = None
             for batch_idx, batch in enumerate(loader):
                 _fault_injection(epoch, batch_idx)
-                if _PREEMPT.is_set():
+                # lockstep: SIGTERM delivered to ANY host stops every
+                # host at this same batch boundary (host-level OR; a
+                # single-host run reduces to the plain flag check)
+                if any_process(_PREEMPT.is_set()):
                     # graceful preemption: persist the last committed
                     # state, then surface. Outside the per-batch except
                     # on purpose — preemption must never be "skipped".
@@ -371,6 +387,16 @@ def train(
                     fn = tail_step_fn if tail else step_fn
                     state, metrics = fn(state, dev_batch, vgg_params)
                 except Exception as e:
+                    if multihost:
+                        # skipping would desync this host's collective
+                        # schedule from the pod and deadlock the others
+                        # — abort loudly instead; resume via the normal
+                        # checkpoint chain
+                        raise RuntimeError(
+                            f"batch {batch_idx} failed on this host; "
+                            "multi-host training cannot skip batches "
+                            "(collective lockstep) — aborting"
+                        ) from e
                     # reference behavior: log and skip the failed batch,
                     # never abort the epoch (train.py:268-270). Reliable
                     # only for host-side errors (data load, placement,
@@ -536,9 +562,16 @@ def _save(path: Path, state, epoch, lr, config, extra):
 
     Multi-host runs write from process 0 only: the state is replicated,
     so every host would produce the same bytes — and race on a shared
-    filesystem."""
+    filesystem. Under that single-writer rule the orbax leg is SKIPPED:
+    orbax's save is itself a collective (it barriers across the process
+    group via sync_global_processes), so calling it from process 0
+    alone deadlocks the pod at the first checkpoint. The reference-
+    layout .pth is a pure host-side write of the fully-replicated state
+    and is the canonical resume format (resolve_checkpoint), so
+    multi-host runs lose nothing but the redundant second format."""
     import jax
 
+    multihost = jax.process_count() > 1
     if jax.process_index() != 0:
         return
     path = Path(path)
@@ -549,7 +582,13 @@ def _save(path: Path, state, epoch, lr, config, extra):
                 path, state, epoch=epoch, lr=lr,
                 config=getattr(config, "raw", {}), extra=extra,
             )
-            save_native(path.with_suffix(".orbax"), state, extra)
+            if not multihost:
+                save_native(path.with_suffix(".orbax"), state, extra)
+        elif multihost:
+            export_pth(
+                path.with_suffix(".pth"), state, epoch=epoch, lr=lr,
+                config=getattr(config, "raw", {}), extra=extra,
+            )
         else:
             save_native(path, state, extra)
     except Exception as e:

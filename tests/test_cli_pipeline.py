@@ -224,9 +224,13 @@ class TestPipelineCLI:
             sorted(Path("ckpts").glob("master_model_human_guided_*.pth"))[-1],
             map_location="cpu", weights_only=False,
         )
-        # the resumed run loaded the preempted HG weights, and consumed
-        # the file on completion
-        assert hg["source_model"] == str(pre)
+        # the resumed run loaded the preempted HG weights, consumed the
+        # file on completion, and recorded the TRUE lineage (the
+        # original master, not the now-deleted preempted.pth)
+        assert hg["resumed_from_preemption"] is True
+        assert hg["source_model"] == str(
+            Path("ckpts/master_checkpoint.pth")
+        )
         assert not pre.exists()
 
     def test_vgg_provenance_tagged(self, workspace):

@@ -306,3 +306,80 @@ class TestTwoProcessCLI:
         assert not list(
             (tmp_path / "ws1" / "data/output/NJ00/inpainted").glob("*.png")
         )
+
+
+class TestSyncPrimitives:
+    """broadcast_from_primary / any_process: the lockstep invariants the
+    multi-host train path relies on (code-review findings: divergent
+    per-host resume states; one-host preemption deadlocking the rest)."""
+
+    WORKER = r'''
+import os, sys, json
+sys.path.insert(0, "/root/repo")
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax; jax.config.update("jax_platforms", "cpu")
+from terra_gan_tpu.parallel import (
+    any_process, broadcast_from_primary, initialize_from_env,
+)
+import numpy as np
+assert initialize_from_env()
+pid = jax.process_index()
+# hosts start with DIFFERENT trees (as after a divergent resume)
+tree = {"w": np.full((3,), float(pid + 1), np.float32), "step": pid}
+tree = broadcast_from_primary(tree)
+# a preemption flag seen only by process 1 must reach everyone
+flag = any_process(pid == 1)
+print(json.dumps({
+    "pid": pid,
+    "w": np.asarray(tree["w"]).tolist(),
+    "step": int(np.asarray(tree["step"])),
+    "flag": bool(flag),
+}), flush=True)
+'''
+
+    def test_broadcast_and_any_process(self):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs = []
+        for pid in range(2):
+            env = dict(os.environ)
+            env.update({
+                "TERRA_GAN_TPU_COORDINATOR": f"localhost:{port}",
+                "TERRA_GAN_TPU_NUM_PROCESSES": "2",
+                "TERRA_GAN_TPU_PROCESS_ID": str(pid),
+            })
+            env.pop("XLA_FLAGS", None)
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", self.WORKER],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, env=env,
+            ))
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=300)
+            assert p.returncode == 0, err[-2000:]
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+        for got in outs:
+            # everyone holds process 0's values...
+            assert got["w"] == [1.0, 1.0, 1.0], got
+            assert got["step"] == 0, got
+            # ...and process 1's preemption flag reached process 0
+            assert got["flag"] is True, got
+
+    def test_single_process_noops(self):
+        from terra_gan_tpu.parallel import any_process, broadcast_from_primary
+
+        tree = {"a": np.arange(3)}
+        assert broadcast_from_primary(tree) is tree
+        assert any_process(False) is False
+        assert any_process(True) is True
+
+    def test_partial_env_raises_clear_error(self, monkeypatch):
+        from terra_gan_tpu.parallel import initialize_from_env
+
+        monkeypatch.setenv("TERRA_GAN_TPU_COORDINATOR", "localhost:1")
+        monkeypatch.delenv("TERRA_GAN_TPU_NUM_PROCESSES", raising=False)
+        monkeypatch.delenv("TERRA_GAN_TPU_PROCESS_ID", raising=False)
+        with pytest.raises(RuntimeError, match="all three"):
+            initialize_from_env()
