@@ -27,13 +27,17 @@ from typing import Dict, Iterator, List, Sequence
 import numpy as np
 from PIL import Image
 
+from ..utils.images import open_gray
+
 logger = logging.getLogger(__name__)
 
 TARGET = 512
 
 
 def _load_grayscale(path: str | Path, size: int, resample) -> np.ndarray:
-    img = Image.open(path).convert("L")
+    # native gray8 PNG decode when possible (utils/images.py): on a
+    # 1-core host the feed thread's decode rate bounds real samples/s
+    img = open_gray(path)
     if img.size != (size, size):
         img = img.resize((size, size), resample)
     return np.asarray(img, np.float32)[..., None] / 255.0

@@ -25,6 +25,7 @@ import numpy as np
 from PIL import Image
 
 from ..models.generator import PConvUNet
+from ..utils.images import open_gray
 from ..utils.torch_compat import load_pth, torch_state_to_generator_vars
 
 logger = logging.getLogger(__name__)
@@ -59,19 +60,9 @@ def iter_tile_pairs(images_dir: str | Path, masks_dir: str | Path):
 
 
 def _open_gray(path: str | Path) -> Image.Image:
-    """Grayscale PIL image via the native gray8 PNG decoder when the
-    file is one of the pipeline's own tiles (measured ~1.6x faster than
-    PIL decode); PIL fallback for everything else (other formats, bit
-    depths, palettes)."""
-    try:
-        from ..utils.native import png_decode_gray8
-
-        u8 = png_decode_gray8(Path(path).read_bytes())
-        if u8 is not None:
-            return Image.fromarray(u8, "L")
-    except Exception:  # pragma: no cover - any surprise -> PIL
-        pass
-    return Image.open(path).convert("L")
+    """Grayscale PIL image; native gray8 fast path (utils/images.py,
+    shared with the training datasets)."""
+    return open_gray(path)
 
 
 def _load_pair(

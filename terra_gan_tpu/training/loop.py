@@ -263,8 +263,12 @@ def train(
         try:
             val_ds = InpaintingDataset(val_img_dir, val_mask_dir, size=image_size)
             if len(val_ds):
+                # same lockstep rule as the train loader: a val batch
+                # skipped on one host desyncs its eval_fn collective
+                # schedule from the pod
                 val_loader = BatchLoader(
-                    val_ds, batch_size=batch_size, shuffle=False
+                    val_ds, batch_size=batch_size, shuffle=False,
+                    strict=multihost,
                 )
         except Exception as e:
             logger.warning("validation dataset unavailable: %s", e)
