@@ -27,7 +27,13 @@ Faithful semantics reproduced from the reference:
     to D's gradient, training D on the real half only. Found by the
     r3 float64 trajectory gate (loss curves diverged while every
     individual gradient matched); the recompute restores the
-    reference's exact D objective (train.py:209-219).
+    reference's exact D objective (train.py:209-219). The recompute's
+    FORWARD is free: XLA CSE merges it with the G-step's D(gen)
+    (verified by conv-count analysis of the compiled step — the fix's
+    9 extra convolutions are exactly the fake-half backward: 5 filter
+    grads + the 4-conv cotangent chain, ~5-7% of the step and
+    semantically irreducible). A hand-shared two-cotangent jax.vjp
+    restructure compiles to the identical program — don't reopen.
 
 The returned metrics dict mirrors the reference's batch metric names
 (train.py:246-251).
