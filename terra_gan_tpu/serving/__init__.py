@@ -1,5 +1,22 @@
-"""Production inference serving (HTTP + dynamic micro-batching)."""
+"""Production inference serving (HTTP + dynamic micro-batching) and
+AOT StableHLO export artifacts."""
 
+from .export import (
+    describe,
+    export_generator,
+    load_exported,
+    save_exported,
+    serialize_generator,
+)
 from .server import InpaintService, MicroBatcher, make_server
 
-__all__ = ["InpaintService", "MicroBatcher", "make_server"]
+__all__ = [
+    "InpaintService",
+    "MicroBatcher",
+    "make_server",
+    "describe",
+    "export_generator",
+    "load_exported",
+    "save_exported",
+    "serialize_generator",
+]

@@ -1,0 +1,181 @@
+"""AOT inference artifacts: serialized StableHLO export of the generator.
+
+The reference has no deployment story beyond running the repo — its
+serving unit is `evaluate.py:30` re-tracing the torch model per
+process. Production TPU serving wants a hermetic, versioned artifact:
+`jax.export` serializes the jitted eval-mode forward (weights baked
+in as constants) to StableHLO bytecode with a versioned calling
+convention, loadable by any later JAX — or a non-Python PJRT runtime
+— without this package's model code or a Python tracing step.
+
+Properties of the artifact:
+  * symbolic batch dimension: one artifact serves every batch size
+    (the 512x512 tile geometry is fixed, like the reference contract);
+  * multi-platform: lowered for both TPU and CPU by default, so the
+    same bytes serve on a TPU pod and in a CPU canary/CI;
+  * quantization-aware: exporting a ``quant="w8a8"`` generator bakes
+    the int8 weights + static activation scales into the artifact —
+    the deployed program IS the calibrated int8-MXU program;
+  * self-describing: `describe()` returns the embedded metadata
+    (shapes, dtypes, platforms, calling-convention version).
+
+CLI: ``python scripts/export_model.py --checkpoint master_model.pth
+--out generator.shlo [--quant w8a8 --calib-dir tiles/]``.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Sequence
+
+import numpy as np
+
+_MAGIC = b"TGTPU-EXPORT\x00"
+_VERSION = 1
+
+
+def _forward_fn(generator, variables):
+    def forward(image, mask):
+        # the eval contract (evaluate.py:52-58): masked input, eval mode
+        return generator.apply(variables, image * mask, mask, False)
+
+    return forward
+
+
+def export_generator(
+    generator,
+    variables,
+    *,
+    size: int = 512,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+    static_batch: Optional[int] = None,
+):
+    """Export the generator's eval forward as a jax.export.Exported.
+
+    size: tile side (the reference trains/serves 512**2 — train.py:67).
+    platforms: lowering targets baked into the artifact; running on any
+      other platform raises at call time.
+    static_batch: fix the batch dimension instead of the default
+      symbolic "b" (some non-JAX PJRT consumers want static shapes).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    fwd = jax.jit(_forward_fn(generator, variables))
+    if static_batch is None:
+        shape = jexport.symbolic_shape(f"b, {size}, {size}, 1")
+    else:
+        shape = (static_batch, size, size, 1)
+    spec = jax.ShapeDtypeStruct(shape, jnp.float32)
+    return jexport.export(fwd, platforms=list(platforms))(spec, spec)
+
+
+def serialize_generator(generator, variables, **kwargs) -> bytes:
+    """Export and frame as a self-describing artifact file body."""
+    exp = export_generator(generator, variables, **kwargs)
+    payload = exp.serialize()
+    meta = {
+        "format_version": _VERSION,
+        "fn_name": exp.fun_name,
+        "platforms": list(exp.platforms),
+        "in_shardings": len(exp.in_shardings_hlo),
+        "in_avals": [str(a) for a in exp.in_avals],
+        "out_avals": [str(a) for a in exp.out_avals],
+        "calling_convention_version": exp.calling_convention_version,
+        "quant": getattr(generator, "quant", None),
+        "size": kwargs.get("size", 512),
+    }
+    head = json.dumps(meta).encode()
+    return (
+        _MAGIC
+        + len(head).to_bytes(4, "little")
+        + head
+        + payload
+    )
+
+
+def save_exported(path: str | Path, generator, variables, **kwargs) -> Dict:
+    """serialize_generator to a file; returns the embedded metadata."""
+    blob = serialize_generator(generator, variables, **kwargs)
+    Path(path).write_bytes(blob)
+    return describe(blob)
+
+
+def _split(blob: bytes):
+    if not blob.startswith(_MAGIC):
+        raise ValueError("not a terra_gan_tpu export artifact (bad magic)")
+    off = len(_MAGIC)
+    n = int.from_bytes(blob[off : off + 4], "little")
+    meta = json.loads(blob[off + 4 : off + 4 + n].decode())
+    return meta, blob[off + 4 + n :]
+
+
+def describe(path_or_blob: str | Path | bytes) -> Dict:
+    """The artifact's embedded metadata (no deserialization/compile)."""
+    blob = (
+        path_or_blob
+        if isinstance(path_or_blob, bytes)
+        else Path(path_or_blob).read_bytes()
+    )
+    return _split(blob)[0]
+
+
+def load_exported(path_or_blob: str | Path | bytes):
+    """Load an artifact into a jitted callable (image, mask) -> tiles.
+
+    The returned callable runs the serialized StableHLO — the model
+    code, checkpoint and calibration used at export time are not
+    consulted (or needed) at all.
+    """
+    import jax
+    from jax import export as jexport
+
+    blob = (
+        path_or_blob
+        if isinstance(path_or_blob, bytes)
+        else Path(path_or_blob).read_bytes()
+    )
+    meta, payload = _split(blob)
+    exp = jexport.deserialize(bytearray(payload))
+    call = jax.jit(exp.call)
+    call.meta = meta  # type: ignore[attr-defined]
+    return call
+
+
+def load_variables_for_export(checkpoint: str | Path) -> Dict[str, Any]:
+    """Generator variables from any supported checkpoint form
+    (.pth reference layout, raw state dict, or orbax native dir)."""
+    from ..evaluation.inference import load_generator_variables
+
+    return load_generator_variables(checkpoint)
+
+
+def calibrated_quant_generator(generator, variables, calib_dir: str | Path,
+                               n_tiles: int = 16):
+    """Clone the generator into its w8a8 static-scale form, calibrated
+    on up to n_tiles image/mask pairs from calib_dir (the serving
+    startup flow — serving/server.py --quant)."""
+    import jax.numpy as jnp
+
+    from ..evaluation.inference import iter_tile_pairs, _load_pair
+    from ..ops.quant import calibrate_quant_scales
+
+    calib_dir = Path(calib_dir)
+    imgs, masks = [], []
+    pairs = list(iter_tile_pairs(calib_dir / "images", calib_dir / "masks"))
+    if not pairs:
+        raise ValueError(f"no calibration tiles under {calib_dir}")
+    for img_path, mask_path in pairs[:n_tiles]:
+        if mask_path is None:
+            img, _ = _load_pair(img_path, img_path, 512)
+            mask = np.ones_like(img)
+        else:
+            img, mask = _load_pair(img_path, mask_path, 512)
+        imgs.append(img[0])
+        masks.append(mask[0])
+    x = jnp.asarray(np.stack(imgs))
+    m = jnp.asarray(np.stack(masks))
+    scales = calibrate_quant_scales(generator, variables, [(x * m, m)])
+    return generator.clone(quant="w8a8", quant_scales=scales)

@@ -126,6 +126,7 @@ class InpaintService:
         base_width: int = 64,
         quant: Optional[str] = None,
         calib_dir: Optional[str] = None,
+        exported: Optional[str] = None,
     ):
         import jax
         import jax.numpy as jnp
@@ -136,27 +137,42 @@ class InpaintService:
         enable_persistent_cache()
         self.size = size
         self.out_size = out_size
-        cd = jnp.bfloat16 if bf16 else None
-        self.generator = PConvUNet(
-            base_width=base_width, compute_dtype=cd,
-            precision=None if bf16 else "highest",
-        )
-        if checkpoint and Path(checkpoint).exists():
-            from ..evaluation.inference import load_generator_variables
-
-            self.variables = load_generator_variables(checkpoint)
-            logger.info("serving checkpoint %s", checkpoint)
+        self.exported_path = exported
+        if exported is not None:
+            # hermetic deployment path: the artifact carries weights,
+            # lowering platform(s), and any baked w8a8 quantization —
+            # no checkpoint, model code, or calibration applies here
+            if quant is not None:
+                raise ValueError(
+                    "--quant cannot combine with --exported: "
+                    "quantization is baked at export time "
+                    "(serving/export.py)"
+                )
+            self.generator = None
+            self.variables = None
+            self._fwd = self._make_fwd_exported(exported)
         else:
-            logger.warning("no checkpoint; serving random weights")
-            self.variables = jax.jit(
-                self.generator.init, static_argnums=3
-            )(
-                jax.random.PRNGKey(0),
-                jnp.zeros((1, size, size, 1)),
-                jnp.ones((1, size, size, 1)),
-                False,
+            cd = jnp.bfloat16 if bf16 else None
+            self.generator = PConvUNet(
+                base_width=base_width, compute_dtype=cd,
+                precision=None if bf16 else "highest",
             )
-        self._fwd = self._make_fwd(self.generator)
+            if checkpoint and Path(checkpoint).exists():
+                from ..evaluation.inference import load_generator_variables
+
+                self.variables = load_generator_variables(checkpoint)
+                logger.info("serving checkpoint %s", checkpoint)
+            else:
+                logger.warning("no checkpoint; serving random weights")
+                self.variables = jax.jit(
+                    self.generator.init, static_argnums=3
+                )(
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((1, size, size, 1)),
+                    jnp.ones((1, size, size, 1)),
+                    False,
+                )
+            self._fwd = self._make_fwd(self.generator)
         # w8a8 eval quantization: activation scales need REAL terrain
         # data (random warmup data would misdo the ranges). Preferred:
         # --calib-dir with sample tile/mask pairs, so the scales are
@@ -198,6 +214,36 @@ class InpaintService:
             # PNG uint8 quantization on device: the host fetches
             # 1 byte/px instead of 4 (bit-identical to the host
             # conversion; same trick as parallel/infer.py)
+            return (jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+        return jax.jit(_forward)
+
+    def _make_fwd_exported(self, path: str):
+        """Same (variables, stacked-uint8) signature as _make_fwd, but
+        the model forward is the serialized StableHLO artifact — the
+        uint8 wire codecs wrap it inside one jit."""
+        import jax
+        import jax.numpy as jnp
+
+        from .export import load_exported
+
+        call = load_exported(path)
+        meta = call.meta
+        if meta.get("size") not in (None, self.size):
+            logger.info(
+                "artifact tile size %s overrides --size %d",
+                meta["size"], self.size,
+            )
+            self.size = int(meta["size"])
+        logger.info(
+            "serving exported artifact %s (platforms=%s quant=%s)",
+            path, meta.get("platforms"), meta.get("quant"),
+        )
+
+        def _forward(_v, xm_u8):
+            x = xm_u8[..., 0:1].astype(jnp.float32) / 255.0
+            m = xm_u8[..., 1:2].astype(jnp.float32)
+            out = call(x, m)
             return (jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
         return jax.jit(_forward)
@@ -418,6 +464,7 @@ def make_server(
                     "devices": [str(d) for d in jax.devices()],
                     "model_size": service.size,
                     "auth": auth_secret is not None,
+                    "exported": service.exported_path,
                 })
             if not self._authorized():
                 return
@@ -508,6 +555,10 @@ def main(argv=None) -> int:
                         "TERRA_GAN_TPU_SERVING_SECRET env var. Unset = "
                         "open server (logged loudly).")
     p.add_argument("--max-body-mb", type=int, default=32)
+    p.add_argument("--exported", default=None,
+                   help="serve a serialized StableHLO artifact "
+                        "(scripts/export_model.py) instead of a "
+                        "checkpoint; weights/quant are baked in")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -525,7 +576,7 @@ def main(argv=None) -> int:
         checkpoint=args.checkpoint, size=args.size, out_size=args.out_size,
         max_batch=args.max_batch, bf16=not args.fp32,
         base_width=args.base_width, quant=args.quant,
-        calib_dir=args.calib_dir,
+        calib_dir=args.calib_dir, exported=args.exported,
     )
     service.warmup()
     server = make_server(
