@@ -179,3 +179,84 @@ def calibrated_quant_generator(generator, variables, calib_dir: str | Path,
     m = jnp.asarray(np.stack(masks))
     scales = calibrate_quant_scales(generator, variables, [(x * m, m)])
     return generator.clone(quant="w8a8", quant_scales=scales)
+
+
+def main(argv=None) -> int:
+    """CLI: checkpoint -> artifact (also `scripts/export_model.py` and
+    the `terra-gan-tpu-export` console script)."""
+    import argparse
+    import sys
+
+    p = argparse.ArgumentParser(
+        description="Export a generator to a StableHLO inference artifact"
+    )
+    p.add_argument("--checkpoint", default=None,
+                   help=".pth (reference layout or raw state dict) or "
+                        "orbax checkpoint; omit for random weights "
+                        "(smoke tests)")
+    p.add_argument("--out", required=True, help="artifact output path")
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--base-width", type=int, default=64)
+    p.add_argument("--platforms", default="tpu,cpu",
+                   help="comma-separated lowering targets")
+    p.add_argument("--fp32", action="store_true",
+                   help="fp32 compute (default bf16, the serving mode)")
+    p.add_argument("--quant", choices=["w8a8"], default=None,
+                   help="bake static-scale int8 quantization into the "
+                        "artifact (needs --calib-dir)")
+    p.add_argument("--calib-dir", default=None,
+                   help="sample tile/mask pairs for --quant calibration")
+    p.add_argument("--static-batch", type=int, default=None,
+                   help="fix the batch dim instead of symbolic 'b'")
+    p.add_argument("--backend", choices=["default", "cpu"],
+                   default="default",
+                   help="'cpu' pins the local backend — exporting only "
+                        "lowers and serializes, so no accelerator is "
+                        "needed even for --platforms tpu")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from ..models import PConvUNet
+    from ..utils.jax_setup import enable_persistent_cache
+
+    enable_persistent_cache()
+    cd = None if args.fp32 else jnp.bfloat16
+    generator = PConvUNet(
+        base_width=args.base_width, compute_dtype=cd,
+        precision="highest" if args.fp32 else None,
+    )
+    if args.checkpoint:
+        variables = load_variables_for_export(args.checkpoint)
+    else:
+        print("WARNING: no --checkpoint; exporting random weights",
+              file=sys.stderr)
+        variables = jax.jit(generator.init, static_argnums=3)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, args.size, args.size, 1)),
+            jnp.ones((1, args.size, args.size, 1)),
+            False,
+        )
+
+    if args.quant:
+        if not args.calib_dir:
+            p.error("--quant needs --calib-dir (static activation "
+                    "scales come from real tiles; see BASELINE.md r3 "
+                    "— dynamic scales lose on both speed and quality)")
+        generator = calibrated_quant_generator(
+            generator, variables, args.calib_dir,
+        )
+
+    meta = save_exported(
+        args.out, generator, variables,
+        size=args.size,
+        platforms=tuple(s.strip() for s in args.platforms.split(",") if s),
+        static_batch=args.static_batch,
+    )
+    meta["bytes"] = Path(args.out).stat().st_size
+    print(json.dumps(meta, indent=2))
+    return 0
