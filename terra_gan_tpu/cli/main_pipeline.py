@@ -269,6 +269,22 @@ def run_training_mode(
             # propagate so main() exits 75 (resume = same command)
             raise
         except Exception as e:
+            from ..parallel import is_multiprocess
+
+            if is_multiprocess():
+                # multi-host lockstep: this host CANNOT move on to the
+                # next grid — the peers are still dispatching grid
+                # collectives for this one, and a fresh train() here
+                # would pair this host's psums against theirs (silent
+                # gradient mixing or a wedged pod). Abort the whole
+                # process loudly instead; resume via the checkpoint
+                # chain restarts the group in lockstep.
+                logger.error(
+                    "parent %s failed under multi-host training — "
+                    "aborting the process to keep the pod in lockstep",
+                    parent,
+                )
+                raise
             logger.exception("parent %s failed: %s", parent, e)
             failed.append(parent)
 
@@ -355,8 +371,6 @@ def run_evaluation_mode(
         # BatchedInpainter enforces the local mesh)
         import jax
 
-        from ..parallel import make_mesh
-
         parents = process_shard(parents, equalize=False)
         if not parents:
             # this host's round-robin share is empty: done (skip the
@@ -364,14 +378,13 @@ def run_evaluation_mode(
             logger.info("multi-host evaluate: no grids for this host")
             return True
         if mesh is not None:
-            # rebuild the REQUESTED (data, spatial) geometry per host
-            # when it fits the local devices; else use them all
-            local = jax.local_devices()
-            d, s = mesh.shape["data"], mesh.shape["spatial"]
-            if d * s <= len(local):
-                mesh = make_mesh(d * s, spatial=s, devices=local)
-            else:
-                mesh = make_mesh(devices=local)
+            # rebuild the REQUESTED (data, spatial) geometry per host:
+            # fit it to the local devices, preserving the spatial
+            # factor when the global mesh is larger than one host
+            # (parallel/mesh.py local_mesh_like)
+            from ..parallel import local_mesh_like
+
+            mesh = local_mesh_like(mesh, jax.local_devices())
             logger.info(
                 "multi-host evaluate: --mesh rebuilt on local devices "
                 "(data=%d spatial=%d)",

@@ -194,9 +194,12 @@ class BatchLoader:
                         if self.strict:
                             # multi-host lockstep: surface in the
                             # consumer instead of silently shifting
-                            # this host's batch sequence
+                            # this host's batch sequence. The finally
+                            # block emits the SENTINEL — putting it
+                            # here too would deadlock at prefetch=1
+                            # (two puts against one queue slot while
+                            # the consumer blocks in t.join()).
                             q.put(("__error__", e))
-                            q.put(SENTINEL)
                             return
                         # skip the bad batch, keep the epoch going —
                         # the reference logs and continues per batch

@@ -59,6 +59,38 @@ def iter_tile_pairs(images_dir: str | Path, masks_dir: str | Path):
         yield img_path, (mask_path if mask_path.exists() else None)
 
 
+def load_calibration_tiles(
+    calib_dir: str | Path, size: int = MODEL_SIZE, n_tiles: int = 16
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Up to n_tiles masked (image, mask) pairs as stacked [N,size,size,1]
+    float arrays for w8a8 activation-scale calibration, or None if the
+    directory holds no masked pairs.
+
+    Shared by serving startup calibration (--calib-dir) and artifact
+    export (--quant) so both accept the same layouts: tiles flat in
+    calib_dir (``<stem>.png`` + ``<stem>_mask_resized.png``, the
+    pipeline's split convention) or under ``calib_dir/{images,masks}``.
+    Unmasked tiles are excluded — an all-ones mask means nothing to
+    inpaint, and its activation statistics would skew the static scales
+    (BASELINE.md r3: static scales from real masked tiles are the
+    quality-preserving configuration)."""
+    import itertools
+
+    d = Path(calib_dir)
+    img_dir, mask_dir = d, d
+    if not any(d.glob("*.png")) and (d / "images").is_dir():
+        img_dir, mask_dir = d / "images", d / "masks"
+    pairs = list(itertools.islice(
+        ((i, m) for i, m in iter_tile_pairs(img_dir, mask_dir)
+         if m is not None),
+        n_tiles,
+    ))
+    if not pairs:
+        return None
+    xs, ms = zip(*(_load_pair(i, m, size) for i, m in pairs))
+    return np.concatenate(xs, axis=0), np.concatenate(ms, axis=0)
+
+
 def _open_gray(path: str | Path) -> Image.Image:
     """Grayscale PIL image; native gray8 fast path (utils/images.py,
     shared with the training datasets)."""

@@ -16,6 +16,7 @@ from .mesh import (
     auto_spatial,
     batch_sharding,
     batch_spec,
+    local_mesh_like,
     make_mesh,
     pad_to_multiple,
     parse_mesh_arg,
@@ -38,6 +39,7 @@ __all__ = [
     "auto_spatial",
     "batch_sharding",
     "batch_spec",
+    "local_mesh_like",
     "make_mesh",
     "pad_to_multiple",
     "parse_mesh_arg",

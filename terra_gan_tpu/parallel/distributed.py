@@ -130,7 +130,10 @@ def coordination_barrier(name: str, timeout_s: float = 900.0) -> None:
         client.wait_at_barrier(
             f"terra_gan:{name}:{_barrier_seq}", int(timeout_s * 1000)
         )
-    except ImportError as e:  # pragma: no cover - private-API drift
+    except (ImportError, AttributeError) as e:  # pragma: no cover
+        # private-API drift: jax._src.distributed has no stability
+        # contract — a rename surfaces as AttributeError, not
+        # ImportError; both degrade to the 30 s gloo window + warning
         logger.warning("coordination barrier unavailable: %s", e)
 
 

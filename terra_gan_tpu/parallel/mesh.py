@@ -20,11 +20,14 @@ are the grad/BN reductions XLA inserts.
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
 
 DATA_AXIS = "data"
 SPATIAL_AXIS = "spatial"
@@ -49,6 +52,32 @@ def make_mesh(
         raise ValueError(f"spatial={spatial} must divide n_devices={n}")
     grid = np.asarray(devices[:n]).reshape(n // spatial, spatial)
     return Mesh(grid, (DATA_AXIS, SPATIAL_AXIS))
+
+
+def local_mesh_like(mesh: Mesh, devices=None) -> Mesh:
+    """Rebuild a requested (data, spatial) mesh geometry on this host's
+    local devices (multi-host evaluate: inference is collective-free,
+    so each host runs its grid share over a LOCAL mesh).
+
+    When the global geometry exceeds the local device count — the
+    common pod case — the SPATIAL factor is preserved and only the
+    data axis shrinks: spatial sharding is requested because one chip's
+    HBM cannot hold a tile, so silently dropping it would turn a
+    geometry problem into per-chip OOMs. Falls back to spatial=1 (with
+    a warning) only when spatial itself exceeds the local devices."""
+    devices = list(devices if devices is not None else jax.local_devices())
+    d, s = mesh.shape[DATA_AXIS], mesh.shape[SPATIAL_AXIS]
+    if d * s <= len(devices):
+        return make_mesh(d * s, spatial=s, devices=devices)
+    if s <= len(devices):
+        return make_mesh((len(devices) // s) * s, spatial=s,
+                         devices=devices)
+    logger.warning(
+        "requested spatial=%d exceeds the %d local devices; falling "
+        "back to spatial=1 — oversized tiles may OOM on one chip",
+        s, len(devices),
+    )
+    return make_mesh(devices=devices)
 
 
 # v5e chip HBM: 16 GB physical, ~15.75 GB usable (measured round 1,

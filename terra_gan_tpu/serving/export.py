@@ -29,8 +29,6 @@ import json
 from pathlib import Path
 from typing import Any, Dict, Optional, Sequence
 
-import numpy as np
-
 _MAGIC = b"TGTPU-EXPORT\x00"
 _VERSION = 1
 
@@ -153,30 +151,27 @@ def load_variables_for_export(checkpoint: str | Path) -> Dict[str, Any]:
 
 
 def calibrated_quant_generator(generator, variables, calib_dir: str | Path,
-                               n_tiles: int = 16):
+                               n_tiles: int = 16, size: int = 512):
     """Clone the generator into its w8a8 static-scale form, calibrated
-    on up to n_tiles image/mask pairs from calib_dir (the serving
-    startup flow — serving/server.py --quant)."""
+    on up to n_tiles masked image/mask pairs from calib_dir.
+
+    Same loader and layout rules as serving startup calibration
+    (serving/server.py --calib-dir): tiles flat in calib_dir or under
+    {images,masks}; unmasked tiles excluded (an all-ones mask has
+    nothing to inpaint and would skew the static activation scales)."""
     import jax.numpy as jnp
 
-    from ..evaluation.inference import iter_tile_pairs, _load_pair
+    from ..evaluation.inference import load_calibration_tiles
     from ..ops.quant import calibrate_quant_scales
 
-    calib_dir = Path(calib_dir)
-    imgs, masks = [], []
-    pairs = list(iter_tile_pairs(calib_dir / "images", calib_dir / "masks"))
-    if not pairs:
-        raise ValueError(f"no calibration tiles under {calib_dir}")
-    for img_path, mask_path in pairs[:n_tiles]:
-        if mask_path is None:
-            img, _ = _load_pair(img_path, img_path, 512)
-            mask = np.ones_like(img)
-        else:
-            img, mask = _load_pair(img_path, mask_path, 512)
-        imgs.append(img[0])
-        masks.append(mask[0])
-    x = jnp.asarray(np.stack(imgs))
-    m = jnp.asarray(np.stack(masks))
+    tiles = load_calibration_tiles(calib_dir, size, n_tiles)
+    if tiles is None:
+        raise ValueError(
+            f"no masked calibration tile pairs under {calib_dir} "
+            "(expected <stem>.png + <stem>_mask_resized.png, flat or "
+            "under images/ and masks/)"
+        )
+    x, m = (jnp.asarray(a) for a in tiles)
     scales = calibrate_quant_scales(generator, variables, [(x * m, m)])
     return generator.clone(quant="w8a8", quant_scales=scales)
 
@@ -248,7 +243,7 @@ def main(argv=None) -> int:
                     "scales come from real tiles; see BASELINE.md r3 "
                     "— dynamic scales lose on both speed and quality)")
         generator = calibrated_quant_generator(
-            generator, variables, args.calib_dir,
+            generator, variables, args.calib_dir, size=args.size,
         )
 
     meta = save_exported(

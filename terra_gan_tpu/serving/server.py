@@ -188,6 +188,19 @@ class InpaintService:
         self._quant_done = quant is None
         # warm the compile cache for every batch size bucket we emit
         self._buckets = sorted({1, max(1, max_batch // 4), max_batch})
+        if exported is not None and self._exported_static_batch:
+            # the artifact compiled for exactly one batch size: every
+            # request pads to it (and the micro-batcher never exceeds
+            # it) instead of crashing warmup with an opaque StableHLO
+            # shape-refinement error on bucket 1
+            b = self._exported_static_batch
+            logger.info(
+                "exported artifact has static batch %d: serving with "
+                "the single bucket [%d] (requested max_batch %d)",
+                b, b, max_batch,
+            )
+            self._buckets = [b]
+            max_batch = b
         if quant is not None and calib_dir:
             if not self._calibrate_from_dir(calib_dir):
                 logger.warning(
@@ -235,6 +248,15 @@ class InpaintService:
                 meta["size"], self.size,
             )
             self.size = int(meta["size"])
+        # a --static-batch artifact accepts exactly ONE batch size; the
+        # caller pins the bucket set to it (a symbolic-batch artifact
+        # has a leading dim like "b" here and serves every bucket)
+        self._exported_static_batch = None
+        avals = meta.get("in_avals") or []
+        if avals:
+            dim0 = avals[0].split("[", 1)[-1].split(",", 1)[0].strip()
+            if dim0.isdigit():
+                self._exported_static_batch = int(dim0)
         logger.info(
             "serving exported artifact %s (platforms=%s quant=%s)",
             path, meta.get("platforms"), meta.get("quant"),
@@ -265,29 +287,18 @@ class InpaintService:
     def _calibrate_from_dir(self, calib_dir: str) -> bool:
         """Startup calibration from sample tiles: <stem>.png paired with
         <stem>_mask_resized.png (the pipeline's split layout), either
-        flat in calib_dir or under calib_dir/{images,masks}."""
-        import itertools
+        flat in calib_dir or under calib_dir/{images,masks} — the same
+        loader the export CLI's --quant uses."""
+        from ..evaluation.inference import load_calibration_tiles
 
-        from ..evaluation.inference import _load_pair, iter_tile_pairs
-
-        d = Path(calib_dir)
-        img_dir, mask_dir = d, d
-        if not any(d.glob("*.png")) and (d / "images").is_dir():
-            img_dir, mask_dir = d / "images", d / "masks"
-        pairs = list(itertools.islice(
-            ((i, m) for i, m in iter_tile_pairs(img_dir, mask_dir)
-             if m is not None),
-            16,
-        ))
-        if not pairs:
+        tiles = load_calibration_tiles(calib_dir, self.size)
+        if tiles is None:
             return False
-        xs, ms = zip(*(_load_pair(i, m, self.size) for i, m in pairs))
-        self._apply_quant_scales(
-            np.concatenate(xs, axis=0), np.concatenate(ms, axis=0)
-        )
+        x, m = tiles
+        self._apply_quant_scales(x, m)
         logger.info(
             "w8a8 activation scales calibrated at startup from %d "
-            "tiles in %s", len(pairs), calib_dir,
+            "tiles in %s", x.shape[0], calib_dir,
         )
         return True
 

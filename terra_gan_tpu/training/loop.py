@@ -48,6 +48,12 @@ logger = logging.getLogger(__name__)
 
 _PREEMPT = threading.Event()
 
+# batches between cross-host preemption polls (multi-host only): the
+# host-OR is a blocking allgather, so polling every batch would stall
+# the dispatch pipeline; 8 batches ≈ 1.3 s at the measured 160 ms/step,
+# well inside any SIGTERM grace window
+_PREEMPT_POLL_BATCHES = 8
+
 
 def request_preemption() -> None:
     """Ask the running train() to checkpoint and stop at the next batch
@@ -349,8 +355,19 @@ def train(
                 _fault_injection(epoch, batch_idx)
                 # lockstep: SIGTERM delivered to ANY host stops every
                 # host at this same batch boundary (host-level OR; a
-                # single-host run reduces to the plain flag check)
-                if any_process(_PREEMPT.is_set()):
+                # single-host run reduces to the plain flag check).
+                # Multi-host polls the collective only every
+                # _PREEMPT_POLL_BATCHES batches: a per-batch allgather
+                # would block the host on the in-flight device step and
+                # reintroduce the per-batch sync this loop exists to
+                # avoid. The poll schedule is a pure function of
+                # batch_idx, so every host enters the collective at the
+                # same boundaries; a flag raised between polls waits at
+                # most _PREEMPT_POLL_BATCHES-1 batches (~1-2 s).
+                poll = (not multihost) or (
+                    batch_idx % _PREEMPT_POLL_BATCHES == 0
+                )
+                if poll and any_process(_PREEMPT.is_set()):
                     # graceful preemption: persist the last committed
                     # state, then surface. Outside the per-batch except
                     # on purpose — preemption must never be "skipped".

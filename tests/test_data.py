@@ -225,6 +225,38 @@ class TestDatasets:
         with pytest.raises(RuntimeError, match="every batch failed"):
             list(loader)
 
+    def test_strict_loader_raises_without_deadlock(self, tmp_path):
+        """strict=True surfaces the first bad batch as RuntimeError at
+        EVERY prefetch depth. Review finding: the strict branch used to
+        put a second SENTINEL, deadlocking producer (blocked put)
+        against consumer (blocked t.join()) at prefetch=1."""
+        import threading
+
+        img_dir, mask_dir = self._make_pair_dirs(tmp_path, n=6)
+        (img_dir / "t2.png").write_bytes(b"broken")
+        ds = InpaintingDataset(img_dir, mask_dir, size=32)
+        for prefetch in (1, 2):
+            loader = BatchLoader(
+                ds, batch_size=2, shuffle=False, strict=True,
+                prefetch=prefetch,
+            )
+            result = {}
+
+            def drain():
+                try:
+                    list(loader)
+                    result["raised"] = False
+                except RuntimeError as e:
+                    result["raised"] = "strict mode" in str(e)
+
+            t = threading.Thread(target=drain, daemon=True)
+            t.start()
+            t.join(timeout=30)
+            assert not t.is_alive(), (
+                f"strict BatchLoader deadlocked at prefetch={prefetch}"
+            )
+            assert result["raised"] is True
+
 
 class TestMaskProcessing:
     def _synthetic_aerial(self, size=256):

@@ -175,3 +175,66 @@ class TestServingIntegration:
 
         with pytest.raises(ValueError, match="baked at export time"):
             InpaintService(exported=str(tmp_path / "x.shlo"), quant="w8a8")
+
+    def test_static_batch_artifact_served(self, small_model, tmp_path):
+        """A --static-batch artifact pins the server to its one bucket
+        (review finding: warmup used to crash on bucket 1 with an
+        opaque StableHLO shape-refinement error)."""
+        from terra_gan_tpu.serving import InpaintService
+
+        G, variables, x, m = small_model
+        path = tmp_path / "g2.shlo"
+        X.save_exported(path, G, variables, size=S, platforms=("cpu",),
+                        static_batch=2)
+        svc = InpaintService(
+            exported=str(path), size=S, out_size=S, max_batch=16,
+        )
+        assert svc._buckets == [2]
+        assert svc.batcher.max_batch == 2
+        svc.warmup()
+        imgs = (np.asarray(x) * 255).astype(np.uint8)
+        masks = (np.asarray(m) > 0).astype(np.uint8)
+        # a 1-item request pads up to the artifact's static batch
+        out1 = svc._infer(imgs[:1], masks[:1])
+        assert out1.shape == (1, S, S, 1)
+        out2 = svc._infer(imgs, masks)
+        assert out2.shape == (2, S, S, 1)
+        np.testing.assert_array_equal(out1[0], out2[0])
+
+
+class TestExportCalibration:
+    def _write_pairs(self, d, flat=True, n=3):
+        from PIL import Image
+
+        rng = np.random.default_rng(7)
+        img_dir = d if flat else d / "images"
+        mask_dir = d if flat else d / "masks"
+        img_dir.mkdir(parents=True, exist_ok=True)
+        mask_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            img = rng.integers(0, 255, (S, S), dtype=np.uint8)
+            mask = (rng.random((S, S)) > 0.3).astype(np.uint8) * 255
+            Image.fromarray(img).save(img_dir / f"t{i}.png")
+            Image.fromarray(mask).save(
+                mask_dir / f"t{i}_mask_resized.png"
+            )
+
+    @pytest.mark.parametrize("flat", [True, False])
+    def test_quant_calibration_both_layouts(self, small_model, tmp_path,
+                                            flat):
+        """export --quant accepts the SAME calib-dir layouts as serving
+        --calib-dir (review finding: it used to require {images,masks}
+        and fabricated all-ones masks for unmasked tiles)."""
+        G, variables, _, _ = small_model
+        self._write_pairs(tmp_path, flat=flat)
+        Gq = X.calibrated_quant_generator(
+            G, variables, tmp_path, size=S
+        )
+        assert Gq.quant == "w8a8"
+        assert Gq.quant_scales  # static scales came from the tiles
+
+    def test_quant_calibration_empty_dir_raises(self, small_model,
+                                                tmp_path):
+        G, variables, _, _ = small_model
+        with pytest.raises(ValueError, match="no masked calibration"):
+            X.calibrated_quant_generator(G, variables, tmp_path, size=S)

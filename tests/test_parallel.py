@@ -252,3 +252,40 @@ class TestSpatialShardingAtScale:
             G, variables, mesh=make_mesh(8), chunk=2
         )(img, mask)
         np.testing.assert_allclose(out_sp, out, rtol=1e-4, atol=1e-4)
+
+
+class TestLocalMeshLike:
+    """Per-host mesh rebuild for multi-host evaluate (review finding:
+    the fallback used to drop the requested spatial factor whenever the
+    global geometry exceeded the local device count — the common pod
+    case — turning an HBM-driven spatial request into per-chip OOMs)."""
+
+    def test_geometry_fits_local_devices(self):
+        from terra_gan_tpu.parallel import local_mesh_like
+
+        m = local_mesh_like(make_mesh(4, spatial=2), list(jax.devices()))
+        assert dict(m.shape) == {"data": 2, "spatial": 2}
+
+    def test_preserves_spatial_when_global_exceeds_local(self):
+        from terra_gan_tpu.parallel import local_mesh_like
+
+        global_mesh = make_mesh(8, spatial=2)  # pod-wide request
+        local = list(jax.devices())[:4]        # this host's share
+        m = local_mesh_like(global_mesh, local)
+        assert dict(m.shape) == {"data": 2, "spatial": 2}
+
+    def test_odd_local_count_rounds_down_to_spatial_multiple(self):
+        from terra_gan_tpu.parallel import local_mesh_like
+
+        global_mesh = make_mesh(8, spatial=2)
+        m = local_mesh_like(global_mesh, list(jax.devices())[:5])
+        assert dict(m.shape) == {"data": 2, "spatial": 2}
+
+    def test_spatial_exceeding_local_falls_back_with_warning(self, caplog):
+        from terra_gan_tpu.parallel import local_mesh_like
+
+        global_mesh = make_mesh(8, spatial=8)
+        with caplog.at_level("WARNING"):
+            m = local_mesh_like(global_mesh, list(jax.devices())[:4])
+        assert dict(m.shape) == {"data": 4, "spatial": 1}
+        assert "spatial=1" in caplog.text
