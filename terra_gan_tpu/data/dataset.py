@@ -19,10 +19,11 @@ DataLoader num_workers=0 — fully serial, train.py:79).
 from __future__ import annotations
 
 import logging
+import os
 import queue
 import threading
 from pathlib import Path
-from typing import Dict, Iterator, List, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image
@@ -33,14 +34,73 @@ logger = logging.getLogger(__name__)
 
 TARGET = 512
 
+# Decoded-tile cache budget. Initial training is 100 epochs over the
+# same split (config.yaml:8-10) and the reference re-decodes every PNG
+# every epoch (dataset.py:14-43 under DataLoader); on a busy host the
+# feed thread's decode rate bounds real samples/s (BASELINE.md "Native
+# decode"), so epochs >= 2 should pay array math, not PNG decode. A
+# cached 512^2 tile pair is ~512 KB (post-resize uint8 image + 0/1
+# mask), so the 256 MB default holds ~500 tiles — every real parent
+# split (<= 100 tiles) fits. Override per-dataset via cache_bytes or
+# globally via TERRA_GAN_TPU_TILE_CACHE_MB (0 disables).
+DEFAULT_CACHE_BYTES = 256 * 2**20
 
-def _load_grayscale(path: str | Path, size: int, resample) -> np.ndarray:
+
+def _cache_budget(cache_bytes: Optional[int]) -> int:
+    if cache_bytes is not None:
+        return cache_bytes
+    env = os.environ.get("TERRA_GAN_TPU_TILE_CACHE_MB")
+    if env is not None:
+        try:
+            return int(float(env) * 2**20)
+        except ValueError:
+            logger.warning("bad TERRA_GAN_TPU_TILE_CACHE_MB=%r ignored", env)
+    return DEFAULT_CACHE_BYTES
+
+
+class _TileCache:
+    """Insert-until-full cache of decoded uint8 tile tuples.
+
+    Epoch access is cyclic (every index once per epoch), the pattern
+    LRU thrashes on — once over budget an LRU would evict every entry
+    exactly before its next use. Filling to the budget and then keeping
+    what we have serves the first `budget` bytes of tiles from memory
+    forever and leaves the rest on the decode path.
+    """
+
+    def __init__(self, budget_bytes: int):
+        self.budget = budget_bytes
+        self.used = 0
+        self._data: Dict[int, Tuple[np.ndarray, ...]] = {}
+        self._lock = threading.Lock()
+
+    def get(self, key: int) -> Optional[Tuple[np.ndarray, ...]]:
+        return self._data.get(key)
+
+    def put(self, key: int, arrays: Tuple[np.ndarray, ...]) -> None:
+        nbytes = sum(a.nbytes for a in arrays)
+        with self._lock:
+            if key in self._data or self.used + nbytes > self.budget:
+                return
+            self._data[key] = arrays
+            self.used += nbytes
+
+
+def _load_gray_u8(path: str | Path, size: int, resample) -> np.ndarray:
+    """Post-resize (H, W) uint8 plane — the cacheable form: the float
+    conversion below happens AFTER the uint8 resize, so caching here is
+    bit-identical to re-decoding."""
     # native gray8 PNG decode when possible (utils/images.py): on a
     # 1-core host the feed thread's decode rate bounds real samples/s
     img = open_gray(path)
     if img.size != (size, size):
         img = img.resize((size, size), resample)
-    return np.asarray(img, np.float32)[..., None] / 255.0
+    return np.asarray(img, np.uint8)
+
+
+def _load_grayscale(path: str | Path, size: int, resample) -> np.ndarray:
+    u8 = _load_gray_u8(path, size, resample)
+    return u8.astype(np.float32)[..., None] / 255.0
 
 
 class InpaintingDataset:
@@ -51,6 +111,7 @@ class InpaintingDataset:
         img_dir: str | Path,
         mask_dir: str | Path,
         size: int = TARGET,
+        cache_bytes: Optional[int] = None,
     ):
         self.img_dir, self.mask_dir = Path(img_dir), Path(mask_dir)
         self.size = size
@@ -65,49 +126,85 @@ class InpaintingDataset:
                 f"image/mask count mismatch: {len(self.img_files)} vs "
                 f"{len(self.mask_files)}"
             )
+        budget = _cache_budget(cache_bytes)
+        self._cache = _TileCache(budget) if budget > 0 else None
 
     def __len__(self) -> int:
         return len(self.img_files)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        img = _load_grayscale(self.img_files[idx], self.size, Image.BILINEAR)
-        # reference resizes the mask with the same bilinear transform,
-        # then binarizes at >0 (dataset.py:37)
-        mask = _load_grayscale(self.mask_files[idx], self.size, Image.BILINEAR)
-        mask = (mask > 0).astype(np.float32)
-        return {"image": img, "mask": mask}
+        cached = self._cache.get(idx) if self._cache else None
+        if cached is None:
+            img_u8 = _load_gray_u8(self.img_files[idx], self.size,
+                                   Image.BILINEAR)
+            # reference resizes the mask with the same bilinear
+            # transform, then binarizes at >0 (dataset.py:37): on the
+            # post-resize uint8 plane that is exactly u8 > 0
+            mask_u8 = (_load_gray_u8(self.mask_files[idx], self.size,
+                                     Image.BILINEAR) > 0).astype(np.uint8)
+            if self._cache:
+                self._cache.put(idx, (img_u8, mask_u8))
+        else:
+            img_u8, mask_u8 = cached
+        return {
+            "image": img_u8.astype(np.float32)[..., None] / 255.0,
+            "mask": mask_u8.astype(np.float32)[..., None],
+        }
 
 
 class DirectMatchDataset:
     """Triplets for human-guided fine-tuning from matched-pair dicts."""
 
-    def __init__(self, matched_pairs: Sequence[Dict], size: int = TARGET):
+    def __init__(
+        self,
+        matched_pairs: Sequence[Dict],
+        size: int = TARGET,
+        cache_bytes: Optional[int] = None,
+    ):
         self.pairs = list(matched_pairs)
         self.size = size
+        budget = _cache_budget(cache_bytes)
+        self._cache = _TileCache(budget) if budget > 0 else None
 
     def __len__(self) -> int:
         return len(self.pairs)
 
     def __getitem__(self, idx: int) -> Dict:
+        pair = self.pairs[idx]
+        cached = self._cache.get(idx) if self._cache else None
+        if cached is not None:
+            image_u8, system_u8, human_u8 = cached
+            return {
+                "image": image_u8.astype(np.float32)[..., None] / 255.0,
+                "mask": system_u8.astype(np.float32)[..., None],
+                "human_mask": human_u8.astype(np.float32)[..., None],
+                "tile_name": pair.get("tile_name", ""),
+            }
         try:
-            pair = self.pairs[idx]
-            image = _load_grayscale(pair["image_path"], self.size, Image.BILINEAR)
-            system = _load_grayscale(
+            image_u8 = _load_gray_u8(
+                pair["image_path"], self.size, Image.BILINEAR
+            )
+            # binarize at >0.5 on the [0,1] scale (direct_match_dataset
+            # .py:54-61): on the post-resize uint8 plane that is
+            # u8/255 > 0.5, i.e. u8 >= 128
+            system_u8 = (_load_gray_u8(
                 pair["system_mask_path"], self.size, Image.NEAREST
-            )
-            human = _load_grayscale(
+            ) >= 128).astype(np.uint8)
+            human_u8 = (_load_gray_u8(
                 pair["human_mask_path"], self.size, Image.NEAREST
-            )
-            system = (system > 0.5).astype(np.float32)
-            human = (human > 0.5).astype(np.float32)
-            if human.sum() == 0:
+            ) >= 128).astype(np.uint8)
+            if human_u8.sum() == 0:
                 logger.warning(
                     "human mask for tile %s is empty", pair.get("tile_name")
                 )
+            # error items are never cached, so a transient read failure
+            # can heal on a later epoch
+            if self._cache:
+                self._cache.put(idx, (image_u8, system_u8, human_u8))
             return {
-                "image": image,
-                "mask": system,
-                "human_mask": human,
+                "image": image_u8.astype(np.float32)[..., None] / 255.0,
+                "mask": system_u8.astype(np.float32)[..., None],
+                "human_mask": human_u8.astype(np.float32)[..., None],
                 "tile_name": pair.get("tile_name", ""),
             }
         except Exception as e:

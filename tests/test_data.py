@@ -225,6 +225,74 @@ class TestDatasets:
         with pytest.raises(RuntimeError, match="every batch failed"):
             list(loader)
 
+    def test_tile_cache_epoch2_identical_and_decode_free(self, tmp_path):
+        """Epochs >= 2 serve cached post-resize uint8 tiles that are
+        bit-identical to a fresh decode (the float conversion happens
+        after the uint8 resize, so caching there is exact). Proven by
+        deleting the files after epoch 1: epoch 2 must still produce
+        the same arrays without touching disk."""
+        img_dir, mask_dir = self._make_pair_dirs(tmp_path, n=4)
+        ds = InpaintingDataset(img_dir, mask_dir, size=64)
+        fresh = [ds[i] for i in range(len(ds))]
+        for f in list(img_dir.iterdir()) + list(mask_dir.iterdir()):
+            f.unlink()
+        for i, ref in enumerate(fresh):
+            again = ds[i]
+            np.testing.assert_array_equal(again["image"], ref["image"])
+            np.testing.assert_array_equal(again["mask"], ref["mask"])
+
+    def test_tile_cache_budget_zero_disables(self, tmp_path, monkeypatch):
+        img_dir, mask_dir = self._make_pair_dirs(tmp_path, n=2)
+        ds = InpaintingDataset(img_dir, mask_dir, size=64, cache_bytes=0)
+        assert ds._cache is None
+        monkeypatch.setenv("TERRA_GAN_TPU_TILE_CACHE_MB", "0")
+        ds2 = InpaintingDataset(img_dir, mask_dir, size=64)
+        assert ds2._cache is None
+        monkeypatch.setenv("TERRA_GAN_TPU_TILE_CACHE_MB", "1")
+        ds3 = InpaintingDataset(img_dir, mask_dir, size=64)
+        assert ds3._cache is not None and ds3._cache.budget == 2**20
+
+    def test_tile_cache_stops_at_budget(self, tmp_path):
+        """Insert-until-full (no LRU: cyclic epoch access would evict
+        every entry right before its reuse): tiles past the budget stay
+        on the decode path but still load correctly."""
+        img_dir, mask_dir = self._make_pair_dirs(tmp_path, n=4, size=64)
+        # one 64^2 pair = 2 * 4096 B; budget of ~1.5 pairs caches one
+        ds = InpaintingDataset(img_dir, mask_dir, size=64,
+                               cache_bytes=3 * 4096)
+        first = [ds[i] for i in range(4)]
+        assert len(ds._cache._data) == 1
+        for i in range(4):  # uncached indices re-decode fine
+            np.testing.assert_array_equal(ds[i]["image"], first[i]["image"])
+
+    def test_direct_match_error_item_not_cached(self, tmp_path):
+        """A transient read failure must heal on a later epoch: error
+        items are never cached."""
+        img = tmp_path / "img.png"
+        smask = tmp_path / "sys.png"
+        hmask = tmp_path / "hum.png"
+        rng = np.random.default_rng(0)
+        Image.fromarray(
+            (rng.random((64, 64)) > 0.5).astype(np.uint8) * 255
+        ).save(smask)
+        Image.fromarray(
+            (rng.random((64, 64)) > 0.5).astype(np.uint8) * 255
+        ).save(hmask)
+        pairs = [{
+            "image_path": str(img), "system_mask_path": str(smask),
+            "human_mask_path": str(hmask), "tile_name": "ab0001",
+        }]
+        ds = DirectMatchDataset(pairs, size=64)
+        assert ds[0]["tile_name"] == "error"  # img missing
+        Image.fromarray(
+            rng.integers(0, 255, (64, 64), dtype=np.uint8)
+        ).save(img)
+        item = ds[0]  # heals once the file appears
+        assert item["tile_name"] == "ab0001"
+        # and epoch 2 serves the cached copy even with files gone
+        img.unlink()
+        np.testing.assert_array_equal(ds[0]["image"], item["image"])
+
     def test_strict_loader_raises_without_deadlock(self, tmp_path):
         """strict=True surfaces the first bad batch as RuntimeError at
         EVERY prefetch depth. Review finding: the strict branch used to
