@@ -10,7 +10,11 @@ a dependency-free HTTP service over the TPU-batched inpainter:
                            reference's 500x500 output contract
   * POST /inpaint_batch  — {"items": [{image, mask}, ...]} -> list
   * GET  /healthz        — liveness + device info (always open)
-  * GET  /stats          — request/batch counters and latency EWMA
+  * GET  /stats          — request/batch/error counters, latency
+                           p50/p95 over the recent window + EWMA,
+                           queue-depth/in-flight gauges (JSON)
+  * GET  /metrics        — the same snapshot in Prometheus text
+                           exposition format (scrape target)
 
 Auth: when a secret is configured (--auth-secret or the
 TERRA_GAN_TPU_SERVING_SECRET env var), every endpoint except /healthz
@@ -54,29 +58,63 @@ class BadRequestError(ValueError):
 class MicroBatcher:
     """Coalesces single requests into device batches."""
 
+    # sliding window for latency percentiles: big enough for stable
+    # p95 under load, small enough that numpy.percentile over it is
+    # microseconds per /stats hit
+    LATENCY_WINDOW = 512
+
     def __init__(self, infer_fn, max_batch: int = 16, max_wait_ms: float = 5.0):
+        from collections import deque
+
         self.infer_fn = infer_fn
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.queue: "queue.Queue" = queue.Queue()
         self.stats = {
             "requests": 0, "batches": 0, "batch_size_sum": 0,
-            "latency_ewma_ms": 0.0,
+            "errors": 0, "latency_ewma_ms": 0.0,
         }
+        self._latencies = deque(maxlen=self.LATENCY_WINDOW)
+        self._inflight = 0
         self._lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def snapshot(self) -> Dict[str, Any]:
+        """Point-in-time stats incl. p50/p95 over the recent window and
+        live queue/in-flight gauges (served by /stats and /metrics)."""
+        with self._lock:
+            s = dict(self.stats)
+            lat = list(self._latencies)
+            inflight = self._inflight
+        s["mean_batch"] = (
+            s["batch_size_sum"] / s["batches"] if s["batches"] else 0
+        )
+        if lat:
+            s["latency_p50_ms"] = round(float(np.percentile(lat, 50)), 2)
+            s["latency_p95_ms"] = round(float(np.percentile(lat, 95)), 2)
+        else:
+            s["latency_p50_ms"] = s["latency_p95_ms"] = 0.0
+        s["queue_depth"] = self.queue.qsize()
+        s["inflight"] = inflight
+        return s
 
     def submit(self, image: np.ndarray, mask: np.ndarray) -> np.ndarray:
         """Blocking single-item inference through the batcher."""
         event = threading.Event()
         slot: Dict[str, Any] = {}
         t0 = time.perf_counter()
+        with self._lock:
+            self._inflight += 1
         self.queue.put((image, mask, event, slot))
         event.wait()
         with self._lock:
+            self._inflight -= 1
             self.stats["requests"] += 1
+            if "error" in slot:
+                self.stats["errors"] += 1
             dt = (time.perf_counter() - t0) * 1000.0
+            self._latencies.append(dt)
             ewma = self.stats["latency_ewma_ms"]
             self.stats["latency_ewma_ms"] = 0.9 * ewma + 0.1 * dt if ewma else dt
         if "error" in slot:
@@ -480,11 +518,35 @@ def make_server(
             if not self._authorized():
                 return
             if self.path == "/stats":
-                s = dict(service.batcher.stats)
-                s["mean_batch"] = (
-                    s["batch_size_sum"] / s["batches"] if s["batches"] else 0
+                return self._json(service.batcher.snapshot())
+            if self.path == "/metrics":
+                # Prometheus/OpenMetrics text exposition of the same
+                # snapshot — no client library needed for the format
+                s = service.batcher.snapshot()
+                lines = []
+                for name, kind, value in (
+                    ("requests_total", "counter", s["requests"]),
+                    ("errors_total", "counter", s["errors"]),
+                    ("batches_total", "counter", s["batches"]),
+                    ("batch_size_mean", "gauge", s["mean_batch"]),
+                    ("latency_p50_ms", "gauge", s["latency_p50_ms"]),
+                    ("latency_p95_ms", "gauge", s["latency_p95_ms"]),
+                    ("latency_ewma_ms", "gauge", s["latency_ewma_ms"]),
+                    ("queue_depth", "gauge", s["queue_depth"]),
+                    ("inflight_requests", "gauge", s["inflight"]),
+                ):
+                    metric = f"terra_gan_tpu_{name}"
+                    lines.append(f"# TYPE {metric} {kind}")
+                    lines.append(f"{metric} {value}")
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4"
                 )
-                return self._json(s)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             self._json({"error": "not found"}, 404)
 
         def do_POST(self):

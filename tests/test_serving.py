@@ -105,6 +105,25 @@ class TestHTTPService:
             urllib.request.urlopen(f"{server}/stats").read()
         )
         assert stats["requests"] >= 1
+        # observability snapshot: percentiles over the recent window,
+        # live gauges, error counter
+        assert stats["latency_p50_ms"] > 0
+        assert stats["latency_p95_ms"] >= stats["latency_p50_ms"]
+        assert stats["errors"] == 0
+        assert stats["queue_depth"] == 0 and stats["inflight"] == 0
+
+    def test_metrics_prometheus_exposition(self, server):
+        with urllib.request.urlopen(f"{server}/metrics") as resp:
+            assert resp.headers["Content-Type"].startswith("text/plain")
+            text = resp.read().decode()
+        assert "# TYPE terra_gan_tpu_requests_total counter" in text
+        lines = dict(
+            line.split(" ", 1) for line in text.strip().splitlines()
+            if not line.startswith("#")
+        )
+        assert float(lines["terra_gan_tpu_requests_total"]) >= 1
+        assert float(lines["terra_gan_tpu_latency_p50_ms"]) > 0
+        assert float(lines["terra_gan_tpu_errors_total"]) == 0
 
     def test_uint8_upload_bit_identical_to_f32_path(self):
         """The stacked-uint8 device upload (r3 serving perf win) must
@@ -215,6 +234,10 @@ class TestServingAuthAndHardening:
     def test_missing_token_401(self, server):
         code, body = self._request(f"{server}/inpaint", self._pair())
         assert code == 401 and "token" in body["error"]
+
+    def test_metrics_requires_token(self, server):
+        code, _ = self._request(f"{server}/metrics")
+        assert code == 401
 
     def test_stats_requires_token(self, server):
         code, _ = self._request(f"{server}/stats")
