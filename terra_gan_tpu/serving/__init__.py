@@ -1,6 +1,7 @@
 """Production inference serving (HTTP + dynamic micro-batching) and
 AOT StableHLO export artifacts."""
 
+from .client import InpaintClient, ServingError
 from .export import (
     describe,
     export_generator,
@@ -11,8 +12,10 @@ from .export import (
 from .server import InpaintService, MicroBatcher, make_server
 
 __all__ = [
+    "InpaintClient",
     "InpaintService",
     "MicroBatcher",
+    "ServingError",
     "make_server",
     "describe",
     "export_generator",

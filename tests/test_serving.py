@@ -457,3 +457,136 @@ class TestQuantCalibration:
             (rng.random((4, 64, 64, 1)) > 0.3).astype(np.uint8),
         )
         assert warms == [1]
+
+
+class TestInpaintClient:
+    """Typed HTTP client (serving/client.py): happy path vs a live
+    server, auth via self-signed tokens, retry/backoff on transient
+    5xx, terminal 4xx surfaced with the server's message."""
+
+    SECRET = "client-test-secret"
+
+    @pytest.fixture(scope="class")
+    def server(self):
+        service = InpaintService(
+            size=64, out_size=64, max_batch=4, bf16=False, base_width=8
+        )
+        service.warmup()
+        srv = make_server(
+            service, "127.0.0.1", 0, auth_secret=self.SECRET
+        )
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        yield f"http://127.0.0.1:{srv.server_port}"
+        srv.shutdown()
+
+    def _pair(self, seed=0, size=64):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 255, (size, size), dtype=np.uint8)
+        mask = (rng.random((size, size)) > 0.3).astype(np.uint8) * 255
+        return img, mask
+
+    def test_inpaint_roundtrip_with_signed_auth(self, server):
+        from terra_gan_tpu.serving import InpaintClient
+
+        client = InpaintClient(server, auth_secret=self.SECRET)
+        assert client.healthz()["status"] == "ok"
+        img, mask = self._pair()
+        out = client.inpaint(img, mask)
+        assert out.shape == (64, 64) and out.dtype == np.uint8
+        # composite contract: preserved pixels survive (uint8 +-1)
+        keep = mask > 0
+        assert np.abs(
+            out[keep].astype(np.int32) - img[keep].astype(np.int32)
+        ).max() <= 1
+        stats = client.stats()
+        assert stats["requests"] >= 1
+
+    def test_inpaint_batch(self, server):
+        from terra_gan_tpu.serving import InpaintClient
+
+        client = InpaintClient(server, auth_secret=self.SECRET)
+        pairs = [self._pair(seed=i) for i in range(3)]
+        outs = client.inpaint_batch(pairs)
+        assert len(outs) == 3
+        singles = [client.inpaint(i, m) for i, m in pairs]
+        for got, want in zip(outs, singles):
+            np.testing.assert_array_equal(got, want)
+
+    def test_unauthorized_no_retry(self, server):
+        from terra_gan_tpu.serving import InpaintClient, ServingError
+
+        client = InpaintClient(server)  # no token, no secret
+        img, mask = self._pair()
+        with pytest.raises(ServingError, match="401"):
+            client.inpaint(img, mask)
+
+    def test_retries_transient_503(self):
+        """First two hits 503, third succeeds — the client retries with
+        backoff instead of failing."""
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+
+        from terra_gan_tpu.serving import InpaintClient
+
+        hits = []
+
+        class Flaky(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                hits.append(1)
+                if len(hits) < 3:
+                    self.send_response(503)
+                    self.end_headers()
+                    return
+                body = json.dumps({"status": "ok"}).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        srv = HTTPServer(("127.0.0.1", 0), Flaky)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            client = InpaintClient(
+                f"http://127.0.0.1:{srv.server_port}",
+                max_retries=4, backoff_s=0.01,
+            )
+            assert client.healthz()["status"] == "ok"
+            assert len(hits) == 3
+        finally:
+            srv.shutdown()
+
+    def test_terminal_connection_error(self):
+        from terra_gan_tpu.serving import InpaintClient, ServingError
+
+        client = InpaintClient(
+            "http://127.0.0.1:1", max_retries=1, backoff_s=0.01
+        )
+        with pytest.raises(ServingError, match="after 2 attempts"):
+            client.healthz()
+
+    def test_cli_remote_batch(self, server, tmp_path):
+        """terra-gan-tpu-infer: the reference evaluate loop pointed at
+        a remote endpoint (main_pipeline.py:497-539 analogue)."""
+        from terra_gan_tpu.serving.client import main as client_main
+
+        img_dir = tmp_path / "images"
+        mask_dir = tmp_path / "masks"
+        img_dir.mkdir(), mask_dir.mkdir()
+        for i in range(3):
+            img, mask = self._pair(seed=i)
+            Image.fromarray(img).save(img_dir / f"t{i}.png")
+            Image.fromarray(mask).save(mask_dir / f"t{i}_mask_resized.png")
+        out_dir = tmp_path / "out"
+        rc = client_main([
+            "--url", server, "--images", str(img_dir),
+            "--masks", str(mask_dir), "--out", str(out_dir),
+            "--secret", self.SECRET, "--batch", "2",
+        ])
+        assert rc == 0
+        outs = sorted(out_dir.glob("*_inpainted.png"))
+        assert [p.name for p in outs] == [
+            "t0_inpainted.png", "t1_inpainted.png", "t2_inpainted.png"
+        ]
+        assert Image.open(outs[0]).size == (64, 64)
