@@ -55,6 +55,22 @@ _PREEMPT = threading.Event()
 _PREEMPT_POLL_BATCHES = 8
 
 
+def _timed_iter(iterable, acc: Dict[str, float]):
+    """Yield from iterable, accumulating the wall time spent blocked
+    waiting for each item into acc['s'] — with async device dispatch,
+    that wait IS the feed starvation (the loader's prefetch thread
+    didn't have the next batch ready)."""
+    it = iter(iterable)
+    while True:
+        t0 = time.perf_counter()
+        try:
+            item = next(it)
+        except StopIteration:
+            return
+        acc["s"] = acc.get("s", 0.0) + (time.perf_counter() - t0)
+        yield item
+
+
 def request_preemption() -> None:
     """Ask the running train() to checkpoint and stop at the next batch
     boundary. Safe from signal handlers and other threads."""
@@ -351,7 +367,8 @@ def train(
             n_batches = 0
 
             last_err: Optional[Exception] = None
-            for batch_idx, batch in enumerate(loader):
+            feed_wait = {"s": 0.0}
+            for batch_idx, batch in enumerate(_timed_iter(loader, feed_wait)):
                 _fault_injection(epoch, batch_idx)
                 # lockstep: SIGTERM delivered to ANY host stops every
                 # host at this same batch boundary (host-level OR; a
@@ -460,6 +477,15 @@ def train(
                 for k, v in _fetch_floats(sums, epoch).items()
             }
             epoch_metrics["epoch_time"] = time.time() - t_epoch
+            # feed starvation: how long the loop sat blocked on the
+            # prefetch loader per batch. Device dispatch is async, so a
+            # large value means the run is FEED-bound (host decode /
+            # disk), not device-bound — the signal that says "raise
+            # TERRA_GAN_TPU_TILE_CACHE_MB / check host IO", which no
+            # loss metric can reveal
+            epoch_metrics["data_wait_ms_per_batch"] = (
+                feed_wait["s"] / max(1, batch_idx + 1) * 1000.0
+            )
 
             # ---- validation (train.py:277-303) -----------------------------
             val_g = val_d = None
@@ -522,6 +548,9 @@ def train(
                         "epoch.real_loss": epoch_metrics["real_loss"],
                         "epoch.fake_loss": epoch_metrics["fake_loss"],
                         "epoch.time": epoch_metrics["epoch_time"],
+                        "epoch.data_wait_ms_per_batch": epoch_metrics[
+                            "data_wait_ms_per_batch"
+                        ],
                     },
                     step=epoch,
                 )

@@ -268,6 +268,15 @@ class TestTrainLoop:
         assert (tmp_path / "master_checkpoint.pth").exists()
         assert (tmp_path / "checkpoint_epoch_0").exists()
         assert int(result["state"].step) == 2 * 2  # 2 epochs x 2 batches
+        # feed-starvation observability: epoch.data_wait_ms_per_batch
+        # lands in the metric store (the feed-bound vs device-bound
+        # signal the loss metrics can't show)
+        wait_files = list(
+            (tmp_path / "mlruns").rglob("*data_wait_ms_per_batch")
+        )
+        assert wait_files, "epoch.data_wait_ms_per_batch not logged"
+        val = float(wait_files[0].read_text().split()[1])
+        assert val >= 0.0
 
     def test_async_checkpoint_matches_sync(self, tmp_path):
         """training.async_checkpoint writes the same checkpoints as the
