@@ -20,6 +20,8 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--pallas", action="store_true")
+    p.add_argument("--quant", action="store_true",
+                   help="profile the w8a8 static-calibrated path")
     p.add_argument("--top", type=int, default=30)
     p.add_argument("--iters", type=int, default=10)
     args = p.parse_args()
@@ -45,6 +47,13 @@ def main() -> None:
     variables = jax.jit(G.init, static_argnums=3)(
         jax.random.PRNGKey(0), x, m, False
     )
+    if args.quant:
+        from terra_gan_tpu.ops.quant import calibrate_quant_scales
+
+        scales = calibrate_quant_scales(
+            G, variables, [(x[:16] * m[:16], m[:16])]
+        )
+        G = G.clone(quant="w8a8", quant_scales=scales)
 
     fwd = jax.jit(lambda v, a, b: G.apply(v, a * b, b, False))
     stats = profile_fn(fwd, variables, x, m, iters=args.iters)

@@ -44,6 +44,17 @@ _DN = ("NHWC", "HWIO", "NHWC")
 _EPS = 1e-12
 
 
+def _unmasked_quant() -> bool:
+    """A/B toggle for the quantize-then-mask input structure (see the
+    static-scale branch in partial_conv2d_q8). Default ON: measured
+    1212 -> 1233 tiles/s at the 512^2 batch-128 headline shape with
+    bit-identical outputs (scripts/exp_quant_fusion.py). Read per trace
+    so the experiment script can flip it between compiles."""
+    import os
+
+    return os.environ.get("TERRA_GAN_TPU_QUANT_UNMASKED", "1") == "1"
+
+
 def quantize_weight(kernel: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric per-output-channel int8 quantization of [kh,kw,I,O]."""
     amax = jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=(0, 1, 2))
@@ -111,7 +122,17 @@ def partial_conv2d_q8(
         offset += ch
         w_q, s_w = quantize_weight(sub_kernel)
         s_a = act_scales[i] if act_scales is not None else None
-        x_q, s_x = quantize_act(part * mask, s_a)
+        if s_a is not None and _unmasked_quant():
+            # quantize-then-mask: round(x/s)*m == round(x*m/s) exactly
+            # for m in {0,1}, but quantize(x) is a pure elementwise
+            # function of the producer's output, so XLA can fuse it
+            # into the producing stage's epilogue (BN/ReLU or the
+            # upsample conv) instead of paying a separate bf16 read of
+            # the full activation; the masked pass then runs in int8.
+            x_q, s_x = quantize_act(part, s_a)
+            x_q = x_q * mask.astype(jnp.int8)
+        else:
+            x_q, s_x = quantize_act(part * mask, s_a)
         if (
             len(parts) == 1
             and stride == 2

@@ -145,6 +145,19 @@ class TestQuantModel:
         ).apply(variables, x, m, False)
         assert _nrmse(out, ref) < 5e-3
 
+    def test_unmasked_quant_bit_identical(self, setup, monkeypatch):
+        # quantize(x)*m == quantize(x*m) exactly for m in {0,1}; the
+        # unmasked form exists so XLA can fuse the quantize into the
+        # producer's epilogue (exp_quant_fusion.py). Gate bit-identity.
+        x, m, base, variables, ref = setup
+        scales = calibrate_quant_scales(base, variables, [(x, m)])
+        Q = PConvUNet(base_width=16, quant="w8a8", quant_scales=scales)
+        monkeypatch.setenv("TERRA_GAN_TPU_QUANT_UNMASKED", "0")
+        masked = Q.apply(variables, x, m, False)
+        monkeypatch.setenv("TERRA_GAN_TPU_QUANT_UNMASKED", "1")
+        unmasked = Q.apply(variables, x, m, False)
+        np.testing.assert_array_equal(np.asarray(masked), np.asarray(unmasked))
+
     def test_stage_allowlist_subset(self, setup):
         x, m, base, variables, ref = setup
         out = PConvUNet(
