@@ -91,14 +91,24 @@ def main() -> None:
     scales = calibrate_quant_scales(
         generator, variables, [(x[:16] * m[:16], m[:16])]
     )
-    quant_gen = generator.clone(quant="w8a8", quant_scales=scales)
-    tiles_per_sec = timed(make_forward(quant_gen))
-    if tiles_per_sec < bf16_tiles_per_sec:
-        # on backends where int8 convs don't win (e.g. CPU smoke runs),
-        # the headline falls back to the bf16 default eval mode
-        tiles_per_sec, mode = bf16_tiles_per_sec, "bf16"
-    else:
-        mode = "w8a8_static"
+    candidates = {
+        "bf16": bf16_tiles_per_sec,
+        "w8a8_static": timed(
+            make_forward(generator.clone(quant="w8a8", quant_scales=scales))
+        ),
+        # int8-resident inter-stage activations + integer-tap decoder
+        # upsampling (r3: 1232 -> 1328 t/s; hole-PSNR delta +0.002 dB
+        # on trained weights — scripts/exp_quant_{resident,quality}.py)
+        "w8a8_resident": timed(
+            make_forward(generator.clone(
+                quant="w8a8", quant_scales=scales, quant_resident=True
+            ))
+        ),
+    }
+    # on backends where int8 convs don't win (e.g. CPU smoke runs), the
+    # headline falls back to the bf16 default eval mode
+    mode = max(candidates, key=candidates.get)
+    tiles_per_sec = candidates[mode]
 
     rec = {
         "metric": "inpaint_512_tiles_per_sec",

@@ -100,6 +100,9 @@ def main(argv=None) -> int:
     )
     rows["w8a8_static"] = hole_psnr(G.clone(quant="w8a8",
                                             quant_scales=scales))
+    rows["w8a8_resident"] = hole_psnr(
+        G.clone(quant="w8a8", quant_scales=scales, quant_resident=True)
+    )
     no_enc1 = frozenset({f"enc{i}" for i in range(2, 8)}
                         | {f"dec{i}" for i in range(1, 8)})
     rows["w8a8_static_no_enc1"] = hole_psnr(
@@ -107,6 +110,7 @@ def main(argv=None) -> int:
     )
     rows["delta_dynamic_db"] = round(rows["w8a8_dynamic"] - rows["bf16"], 3)
     rows["delta_static_db"] = round(rows["w8a8_static"] - rows["bf16"], 3)
+    rows["delta_resident_db"] = round(rows["w8a8_resident"] - rows["bf16"], 3)
     print(json.dumps(rows, indent=2), flush=True)
     return 0
 

@@ -193,17 +193,20 @@ class EvaluationConfig:
     # eval-path quantization: "w8a8" routes grid inference through the
     # int8 MXU path with scales self-calibrated on the first window
     # (ops/quant.py; measured 1.18x at the 512^2 headline shape with
-    # hole-PSNR parity — BASELINE.md r3). None (default) = bf16/fp32
-    # exactly as before.
+    # hole-PSNR parity — BASELINE.md r3); "w8a8_resident" additionally
+    # keeps inter-stage activations int8 in HBM with integer-tap
+    # decoder upsampling (1.28x total vs bf16). None (default) =
+    # bf16/fp32 exactly as before.
     quant: Optional[str] = None
 
     @classmethod
     def from_dict(cls, d):
         m = _get(d, "metrics", default={})
         quant = _get(d, "quant", default=None)
-        if quant not in (None, "w8a8"):
+        if quant not in (None, "w8a8", "w8a8_resident"):
             raise ValueError(
-                f"evaluation.quant must be 'w8a8' or unset, got {quant!r}"
+                "evaluation.quant must be 'w8a8', 'w8a8_resident' or "
+                f"unset, got {quant!r}"
             )
         return cls(
             iou_threshold=_get(m, "iou_threshold", default=0.5),

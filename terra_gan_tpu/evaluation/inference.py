@@ -281,7 +281,7 @@ def inpaint_directory(
             if quant is not None:
                 from itertools import chain
 
-                from ..ops.quant import calibrate_quant_scales
+                from ..ops.quant import calibrate_quant_scales, quantized_clone
 
                 first = next(gen_chunks, None)
                 if first is not None:
@@ -292,7 +292,7 @@ def inpaint_directory(
                         [(imgs0[:n] * msks0[:n], msks0[:n])],
                     )
                     inpainter = BatchedInpainter(
-                        generator.clone(quant=quant, quant_scales=scales),
+                        quantized_clone(generator, quant, scales),
                         variables, mesh=mesh, chunk=chunk,
                         quantize_uint8=True,
                     )

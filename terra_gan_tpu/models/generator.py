@@ -58,6 +58,10 @@ class PConv2d(nn.Module):
     # static per-part activation scales from calibrate_quant_scales;
     # None -> dynamic per-call amax
     act_scale: Optional[Any] = None
+    # resident mode: quantize this stage's OUTPUT to int8 at the given
+    # static scale in the epilogue (fuses into BN/ReLU), so the next
+    # consumer reads int8 from HBM instead of bf16
+    out_quant_scale: Optional[float] = None
     # calibration mode: sow per-part amax of x*m into "quant_stats"
     quant_calib: bool = False
 
@@ -88,7 +92,7 @@ class PConv2d(nn.Module):
                 )
 
         if self.quant and not train:
-            from ..ops.quant import partial_conv2d_q8
+            from ..ops.quant import partial_conv2d_q8, quantize_out
 
             out, new_mask = partial_conv2d_q8(
                 parts, mask, kernel, bias, self.stride, self.padding,
@@ -99,6 +103,8 @@ class PConv2d(nn.Module):
             out = nn.relu(out)
             if self.compute_dtype is not None:
                 out = out.astype(self.compute_dtype)
+            if self.out_quant_scale is not None:
+                out = quantize_out(out, self.out_quant_scale)
             return out, new_mask
 
         from ..ops.pallas.pconv_kernel import PALLAS_AUTO_MAX_BATCH
@@ -153,6 +159,14 @@ class PConv2d(nn.Module):
             # keep inter-stage activations in the compute dtype: the
             # post-ReLU tensors are the largest HBM traffic in the net
             out = out.astype(self.compute_dtype)
+        if self.quant_calib:
+            # output amax: the resident mode's producer-side scale
+            self.sow(
+                "quant_stats", "out_amax",
+                jnp.max(jnp.abs(out.astype(jnp.float32))),
+                init_fn=lambda: jnp.zeros((), jnp.float32),
+                reduce_fn=jnp.maximum,
+            )
         return out, new_mask
 
 
@@ -194,6 +208,17 @@ class PConvUNet(nn.Module):
     quant_stages: Optional[frozenset] = None
     quant_scales: Optional[Any] = None
     quant_calib: bool = False
+    # int8-RESIDENT dataflow (eval + static scales only): every stage
+    # quantizes its own output in its epilogue (producer-side int8
+    # write), encoder outputs flow to the next stage and to their skip
+    # consumers as int8, and decoder-chain upsampling runs as an exact
+    # integer-tap bilinear conv (ops/quant.int_upsample2x_s8) with a
+    # requant epilogue — activations between stages live in HBM at half
+    # the bytes of the bf16 form. Requires quant="w8a8", quant_scales
+    # from calibrate_quant_scales (which supplies the ":out" producer
+    # scales), and full-stage quantization (quant_stages None); silently
+    # inactive on train-mode calls (training never quantizes).
+    quant_resident: bool = False
 
     def _stage(self, **kwargs):
         from ..ops.pallas.pconv_kernel import pallas_stage_allowlist
@@ -221,10 +246,26 @@ class PConvUNet(nn.Module):
         cls = nn.remat(PConv2d, static_argnums=(3,)) if use_remat else PConv2d
         return cls(**kwargs)
 
+    def _resident(self, train: bool) -> bool:
+        import collections.abc
+
+        return (
+            self.quant == "w8a8"
+            and self.quant_resident
+            and not train
+            and self.quant_stages is None
+            # Mapping, not dict: flax wraps dict attributes (FrozenDict)
+            # when the module is bound inside apply()
+            and isinstance(self.quant_scales, collections.abc.Mapping)
+            and "enc1:out" in self.quant_scales
+        )
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool = False):
         w = self.base_width
         cd = self.compute_dtype
+        resident = self._resident(train)
+        qs = self.quant_scales if resident else None
         enc_specs = [
             (w, 7), (2 * w, 5), (4 * w, 5), (8 * w, 3),
             (8 * w, 3), (8 * w, 3), (8 * w, 3),
@@ -234,34 +275,66 @@ class PConvUNet(nn.Module):
         feats, masks = [x], [mask]
         h, m = x, mask
         for i, (f, k) in enumerate(enc_specs):
+            name = f"enc{i + 1}"
+            extra = {}
+            if resident:
+                # chain inputs arrive int8 at the PRODUCER's scale;
+                # every encoder output is written int8 (consumed by the
+                # next stage and by its decoder skip)
+                if i > 0:
+                    extra["act_scale"] = (qs[f"enc{i}:out"],)
+                extra["out_quant_scale"] = qs[f"{name}:out"]
             h, m = self._stage(
                 features=f, kernel_size=k, stride=2, padding=k // 2,
                 compute_dtype=cd, precision=self.precision,
-                use_pallas=self.use_pallas, name=f"enc{i + 1}",
+                use_pallas=self.use_pallas, name=name, **extra,
             )(h, m, train)
             feats.append(h)
             masks.append(m)
 
         # Decoder with skip connections: dec7 consumes e7 + skip e6, ...
         dec_widths = [8 * w, 8 * w, 8 * w, 4 * w, 2 * w, w]
+        h_scale = qs["enc7:out"] if resident else None
         for i, f in enumerate(dec_widths):
+            name = f"dec{7 - i}"
             skip_f, skip_m = feats[6 - i], masks[6 - i]
+            extra = {}
+            up_scales = None
+            if resident:
+                part0_scale = qs[name][0]
+                # part0 requants to its calibrated input scale in the
+                # upsample epilogue; the skip part arrives int8 at its
+                # PRODUCER's (encoder) output scale
+                extra["act_scale"] = (part0_scale, qs[f"enc{6 - i}:out"])
+                extra["out_quant_scale"] = qs[f"{name}:out"]
+                up_scales = (h_scale, part0_scale)
+                h_scale = qs[f"{name}:out"]
             dec = self._stage(features=f, kernel_size=3, padding=1,
                               compute_dtype=cd, precision=self.precision,
-                              use_pallas=self.use_pallas, name=f"dec{7 - i}")
-            h, m = self._decode_step(h, m, skip_f, skip_m, dec, train)
+                              use_pallas=self.use_pallas, name=name,
+                              **extra)
+            h, m = self._decode_step(
+                h, m, skip_f, skip_m, dec, train, up_scales=up_scales
+            )
 
         # Final decode without skip (generator.py:50-57)
-        if cd is not None:
-            h = h.astype(cd)
-        h = upsample2x_bilinear(h)
+        if resident:
+            from ..ops.quant import int_upsample2x_s8
+
+            h = int_upsample2x_s8(h, h_scale, qs["dec1"][0])
+        else:
+            if cd is not None:
+                h = h.astype(cd)
+            h = upsample2x_bilinear(h)
         m = upsample2x_nearest(m)
         h = pad_to_match(h, x.shape[1], x.shape[2])
         m = pad_to_match(m, mask.shape[1], mask.shape[2])
         m = jnp.maximum(m, mask)
+        extra = {"act_scale": (qs["dec1"][0],)} if resident else {}
         h, _ = self._stage(features=w, kernel_size=3, padding=1,
                            compute_dtype=cd, precision=self.precision,
-                           use_pallas=self.use_pallas, name="dec1")(h, m, train)
+                           use_pallas=self.use_pallas, name="dec1",
+                           **extra)(h, m, train)
 
         final_kernel = self.param(
             "final_kernel", torch_conv_kernel_init, (3, 3, w, 1)
@@ -283,12 +356,21 @@ class PConvUNet(nn.Module):
         # (generator.py:59-62).
         return out * (1.0 - mask) + x * mask
 
-    def _decode_step(self, up_f, up_m, skip_f, skip_m, dec, train):
-        # perf mode: upsample in compute dtype (bf16 -> fused dilated
-        # conv path, ~4x faster at large sizes); parity mode stays fp32
-        if self.compute_dtype is not None:
-            up_f = up_f.astype(self.compute_dtype)
-        up_f = upsample2x_bilinear(up_f)
+    def _decode_step(self, up_f, up_m, skip_f, skip_m, dec, train,
+                     up_scales=None):
+        if up_scales is not None:
+            # int8-resident: exact integer-tap bilinear conv with a
+            # requant epilogue to the consumer's part-0 scale
+            from ..ops.quant import int_upsample2x_s8
+
+            up_f = int_upsample2x_s8(up_f, up_scales[0], up_scales[1])
+        else:
+            # perf mode: upsample in compute dtype (bf16 -> fused
+            # dilated conv path, ~4x faster at large sizes); parity
+            # mode stays fp32
+            if self.compute_dtype is not None:
+                up_f = up_f.astype(self.compute_dtype)
+            up_f = upsample2x_bilinear(up_f)
         up_m = upsample2x_nearest(up_m)
         up_f = pad_to_match(up_f, skip_f.shape[1], skip_f.shape[2])
         up_m = pad_to_match(up_m, skip_m.shape[1], skip_m.shape[2])

@@ -80,6 +80,45 @@ def quantize_act(
     return x_q.astype(jnp.int8), scale
 
 
+def quantize_out(out: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Producer-side int8 quantization of a stage output (the resident
+    mode's epilogue step — fuses into the BN/ReLU chain)."""
+    s = jnp.asarray(scale, jnp.float32)
+    q = jnp.clip(jnp.round(out.astype(jnp.float32) / s), -127, 127)
+    return q.astype(jnp.int8)
+
+
+def int_upsample2x_s8(
+    xq: jnp.ndarray, in_scale: float, out_scale: float
+) -> jnp.ndarray:
+    """2x bilinear upsample of an int8-resident tensor, int8 -> int8.
+
+    torch align_corners=False taps are [1,3,3,1]/4 per axis, so the 2D
+    transposed-conv kernel is outer([1,3,3,1])/16 with integer values
+    <= 9 — exactly representable in int8. The depthwise input-dilated
+    conv accumulates in int32 (exact), and the epilogue requantizes
+    y * in_scale/16 to the consumer's scale. Geometry (edge-pad 1,
+    conv-pad 2, crop 2) mirrors ops/resize._upsample2x_bilinear_conv
+    tap-for-tap. Measured vs the fused bf16 upsample+quantize at the
+    dec1 shape (128x256x256x64 -> 512^2): 17.8 vs 22.0 ms, while also
+    halving the producer's output write (scripts/exp_up_quant.py).
+    """
+    b, h, w, c = xq.shape
+    xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    taps = jnp.array([1, 3, 3, 1], jnp.int8)
+    kern = (jnp.outer(taps, taps)[:, :, None, None]
+            * jnp.ones((1, 1, 1, c), jnp.int8))
+    y = lax.conv_general_dilated(
+        xp, kern, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=_DN,
+        feature_group_count=c,
+        preferred_element_type=jnp.int32,
+    )[:, 2: 2 + 2 * h, 2: 2 + 2 * w, :]
+    ratio = jnp.asarray(float(in_scale) / (16.0 * float(out_scale)), jnp.float32)
+    q = jnp.clip(jnp.round(y.astype(jnp.float32) * ratio), -127, 127)
+    return q.astype(jnp.int8)
+
+
 def _conv_q8(x_q, w_q, stride, padding):
     return lax.conv_general_dilated(
         x_q, w_q,
@@ -109,10 +148,17 @@ def partial_conv2d_q8(
     per-output-channel-quantized kernel slice, and dequantized before
     the contributions sum in fp32. Bias, renorm and mask update are the
     exact unquantized code path.
+
+    Resident mode: a part may arrive ALREADY int8 (the producer stage
+    quantized it in its epilogue; its scale must be supplied in
+    act_scales[i]) — then only the int8 mask multiply runs here.
     """
     kh, kw = kernel.shape[0], kernel.shape[1]
     window = float(kh * kw)
-    acc_dtype = jnp.promote_types(parts[0].dtype, jnp.float32)
+    float_parts = [p for p in parts if p.dtype != jnp.int8]
+    acc_dtype = jnp.promote_types(
+        float_parts[0].dtype if float_parts else jnp.float32, jnp.float32
+    )
 
     out = None
     offset = 0
@@ -122,7 +168,15 @@ def partial_conv2d_q8(
         offset += ch
         w_q, s_w = quantize_weight(sub_kernel)
         s_a = act_scales[i] if act_scales is not None else None
-        if s_a is not None and _unmasked_quant():
+        if part.dtype == jnp.int8:
+            # resident part: quantized by its producer at scale s_a
+            if s_a is None:
+                raise ValueError(
+                    "int8-resident parts require a static act scale"
+                )
+            x_q = part * mask.astype(jnp.int8)
+            s_x = jnp.asarray(s_a, jnp.float32)
+        elif s_a is not None and _unmasked_quant():
             # quantize-then-mask: round(x/s)*m == round(x*m/s) exactly
             # for m in {0,1}, but quantize(x) is a pure elementwise
             # function of the producer's output, so XLA can fuse it
@@ -162,19 +216,47 @@ def partial_conv2d_q8(
     return out, valid.astype(mask.dtype)
 
 
+QUANT_MODES = ("w8a8", "w8a8_resident")
+
+
+def quantized_clone(generator, quant: str, scales):
+    """Clone a generator into the requested quantized eval form.
+
+    'w8a8'          — per-stage int8 feature convs, bf16 activations.
+    'w8a8_resident' — same convs plus int8-resident inter-stage
+                      activations and integer-tap decoder upsampling
+                      (PConvUNet.quant_resident; needs the ':out'
+                      scales calibrate_quant_scales supplies).
+    """
+    if quant == "w8a8_resident":
+        return generator.clone(
+            quant="w8a8", quant_scales=scales, quant_resident=True
+        )
+    if quant == "w8a8":
+        return generator.clone(quant="w8a8", quant_scales=scales)
+    raise ValueError(f"unknown quant mode {quant!r} (expected {QUANT_MODES})")
+
+
 def calibrate_quant_scales(generator, variables, batches) -> dict:
     """Derive static per-stage activation scales from calibration data.
 
     Runs eval-mode forwards with amax capture (flax `sow` into the
     `quant_stats` collection) over `batches` (an iterable of
-    (image, mask) NHWC arrays) and returns
-    ``{stage_name: (scale_part0, ...)}`` of Python floats, suitable for
+    (image, mask) NHWC arrays) and returns a dict of Python floats:
+    ``{stage: (scale_part0, ...)}`` input scales per stage, plus
+    ``{f"{stage}:out": scale}`` output scales (used by the int8-
+    resident mode's producer-side quantization). Suitable for
     ``PConvUNet(quant="w8a8", quant_scales=...)``. Scales are
     amax/127 over ALL calibration batches (running max).
     """
     import jax
 
-    calib = generator.clone(quant=None, quant_calib=True)
+    # pallas stages return before the calibration sows run; calibration
+    # always uses the plain lax path (numerically the same model)
+    calib = generator.clone(
+        quant=None, quant_calib=True, use_pallas=False,
+        pallas_stages=frozenset(),
+    )
 
     @jax.jit
     def _run(image, mask):
@@ -190,9 +272,12 @@ def calibrate_quant_scales(generator, variables, batches) -> dict:
             dst = merged.setdefault(stage, {})
             for name, v in vals.items():
                 dst[name] = max(dst.get(name, 0.0), float(v))
-    return {
-        stage: tuple(
-            max(vals[f"amax{i}"], _EPS) / 127.0 for i in range(len(vals))
+    scales: dict = {}
+    for stage, vals in merged.items():
+        n_parts = sum(1 for k in vals if k.startswith("amax"))
+        scales[stage] = tuple(
+            max(vals[f"amax{i}"], _EPS) / 127.0 for i in range(n_parts)
         )
-        for stage, vals in merged.items()
-    }
+        if "out_amax" in vals:
+            scales[f"{stage}:out"] = max(vals["out_amax"], _EPS) / 127.0
+    return scales

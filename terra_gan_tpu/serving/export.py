@@ -151,7 +151,8 @@ def load_variables_for_export(checkpoint: str | Path) -> Dict[str, Any]:
 
 
 def calibrated_quant_generator(generator, variables, calib_dir: str | Path,
-                               n_tiles: int = 16, size: int = 512):
+                               n_tiles: int = 16, size: int = 512,
+                               quant: str = "w8a8"):
     """Clone the generator into its w8a8 static-scale form, calibrated
     on up to n_tiles masked image/mask pairs from calib_dir.
 
@@ -173,7 +174,9 @@ def calibrated_quant_generator(generator, variables, calib_dir: str | Path,
         )
     x, m = (jnp.asarray(a) for a in tiles)
     scales = calibrate_quant_scales(generator, variables, [(x * m, m)])
-    return generator.clone(quant="w8a8", quant_scales=scales)
+    from ..ops.quant import quantized_clone
+
+    return quantized_clone(generator, quant, scales)
 
 
 def main(argv=None) -> int:
@@ -196,7 +199,7 @@ def main(argv=None) -> int:
                    help="comma-separated lowering targets")
     p.add_argument("--fp32", action="store_true",
                    help="fp32 compute (default bf16, the serving mode)")
-    p.add_argument("--quant", choices=["w8a8"], default=None,
+    p.add_argument("--quant", choices=["w8a8", "w8a8_resident"], default=None,
                    help="bake static-scale int8 quantization into the "
                         "artifact (needs --calib-dir)")
     p.add_argument("--calib-dir", default=None,
@@ -244,6 +247,7 @@ def main(argv=None) -> int:
                     "— dynamic scales lose on both speed and quality)")
         generator = calibrated_quant_generator(
             generator, variables, args.calib_dir, size=args.size,
+            quant=args.quant,
         )
 
     meta = save_exported(

@@ -311,14 +311,12 @@ class InpaintService:
     def _apply_quant_scales(self, x: np.ndarray, m: np.ndarray) -> None:
         """Freeze w8a8 activation scales from (x, m) float batches and
         rebuild the jitted forward against the quantized model."""
-        from ..ops.quant import calibrate_quant_scales
+        from ..ops.quant import calibrate_quant_scales, quantized_clone
 
         scales = calibrate_quant_scales(
             self.generator, self.variables, [(x * m, m)]
         )
-        self.generator = self.generator.clone(
-            quant=self._quant, quant_scales=scales
-        )
+        self.generator = quantized_clone(self.generator, self._quant, scales)
         self._fwd = self._make_fwd(self.generator)
         self._quant_done = True
 
@@ -614,7 +612,7 @@ def main(argv=None) -> int:
     p.add_argument("--base-width", type=int, default=64)
     p.add_argument("--fp32", action="store_true",
                    help="exact fp32 mode (default bf16 perf mode)")
-    p.add_argument("--quant", choices=["w8a8"], default=None,
+    p.add_argument("--quant", choices=["w8a8", "w8a8_resident"], default=None,
                    help="int8 MXU eval mode (measured 1.18x at 512^2, "
                         "hole-PSNR parity); calibrates from --calib-dir "
                         "at startup, else on the first request batch")

@@ -135,9 +135,12 @@ class TestQuantModel:
     def test_calibrated_static_scales(self, setup):
         x, m, base, variables, ref = setup
         scales = calibrate_quant_scales(base, variables, [(x, m)])
-        assert set(scales) == {f"enc{i}" for i in range(1, 8)} | {
+        stages = {f"enc{i}" for i in range(1, 8)} | {
             f"dec{i}" for i in range(1, 8)
         }
+        # per-stage input-scale tuples plus ':out' producer scales
+        # (consumed by the resident mode)
+        assert set(scales) == stages | {f"{s}:out" for s in stages}
         # decoder stages consume (upsampled, skip) pairs -> 2 scales
         assert len(scales["dec7"]) == 2 and len(scales["enc1"]) == 1
         out = PConvUNet(
@@ -157,6 +160,47 @@ class TestQuantModel:
         monkeypatch.setenv("TERRA_GAN_TPU_QUANT_UNMASKED", "1")
         unmasked = Q.apply(variables, x, m, False)
         np.testing.assert_array_equal(np.asarray(masked), np.asarray(unmasked))
+
+    def test_resident_mode(self, setup):
+        # int8-resident dataflow: producer-side quantize + integer-tap
+        # upsample. Slightly more rounding than per-consumer quantize,
+        # same quality class; valid pixels stay exact (composite).
+        x, m, base, variables, ref = setup
+        scales = calibrate_quant_scales(base, variables, [(x, m)])
+        assert {f"enc{i}:out" for i in range(1, 8)} <= set(scales)
+        assert {f"dec{i}:out" for i in range(1, 8)} <= set(scales)
+        R = PConvUNet(
+            base_width=16, quant="w8a8", quant_scales=scales,
+            quant_resident=True,
+        )
+        out = R.apply(variables, x, m, False)
+        assert _nrmse(out, ref) < 5e-3
+        keep = np.asarray(m, bool)
+        np.testing.assert_array_equal(
+            np.asarray(out)[keep], np.asarray(x)[keep]
+        )
+        # train-mode calls through the resident model stay unquantized
+        tr = R.apply(variables, x, m, True, mutable=["batch_stats"])[0]
+        tr_ref = base.apply(variables, x, m, True, mutable=["batch_stats"])[0]
+        np.testing.assert_array_equal(np.asarray(tr), np.asarray(tr_ref))
+
+    def test_int_upsample_matches_float_taps(self):
+        # integer-tap bilinear == float bilinear of the dequantized
+        # values, up to the requant rounding (<= 1 int8 step, ties)
+        from terra_gan_tpu.ops.quant import int_upsample2x_s8
+        from terra_gan_tpu.ops.resize import _upsample2x_linear_axis
+
+        rng = np.random.default_rng(7)
+        q = jnp.asarray(rng.integers(-127, 128, (2, 8, 8, 4)), jnp.int8)
+        s_in, s_out = 0.013, 0.009
+        got = np.asarray(int_upsample2x_s8(q, s_in, s_out), np.int32)
+        up = _upsample2x_linear_axis(
+            _upsample2x_linear_axis(
+                jnp.asarray(q, jnp.float64) * s_in, 1
+            ), 2
+        )
+        want = np.clip(np.round(np.asarray(up) / s_out), -127, 127)
+        assert np.abs(got - want).max() <= 1
 
     def test_stage_allowlist_subset(self, setup):
         x, m, base, variables, ref = setup
@@ -212,11 +256,26 @@ class TestQuantPlumbing:
 
         cfg = Config.from_dict({"evaluation": {"quant": "w8a8"}})
         assert cfg.evaluation.quant == "w8a8"
+        cfg = Config.from_dict({"evaluation": {"quant": "w8a8_resident"}})
+        assert cfg.evaluation.quant == "w8a8_resident"
         assert Config.from_dict({}).evaluation.quant is None
         with pytest.raises(ValueError, match="evaluation.quant"):
             Config.from_dict({"evaluation": {"quant": "int4"}})
 
-    def test_inpaint_directory_quant(self, tmp_path):
+    def test_quantized_clone_modes(self):
+        from terra_gan_tpu.ops.quant import quantized_clone
+
+        base = PConvUNet(base_width=16)
+        scales = {"enc1": (0.01,)}
+        q = quantized_clone(base, "w8a8", scales)
+        assert q.quant == "w8a8" and not q.quant_resident
+        r = quantized_clone(base, "w8a8_resident", scales)
+        assert r.quant == "w8a8" and r.quant_resident
+        with pytest.raises(ValueError, match="unknown quant mode"):
+            quantized_clone(base, "int4", scales)
+
+    @pytest.mark.parametrize("mode", ["w8a8", "w8a8_resident"])
+    def test_inpaint_directory_quant(self, tmp_path, mode):
         from PIL import Image
 
         from terra_gan_tpu.evaluation.inference import inpaint_directory
@@ -244,7 +303,7 @@ class TestQuantPlumbing:
         )
         out = inpaint_directory(
             G, v, tmp_path / "images", tmp_path / "masks",
-            tmp_path / "q8", model_size=64, out_size=64, quant="w8a8",
+            tmp_path / "q8", model_size=64, out_size=64, quant=mode,
         )
         assert [p.name for p in out] == [p.name for p in ref]
         for a, b in zip(out, ref):
