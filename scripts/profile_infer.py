@@ -22,6 +22,8 @@ def main() -> None:
     p.add_argument("--pallas", action="store_true")
     p.add_argument("--quant", action="store_true",
                    help="profile the w8a8 static-calibrated path")
+    p.add_argument("--resident", action="store_true",
+                   help="with --quant: the int8-resident dataflow")
     p.add_argument("--top", type=int, default=30)
     p.add_argument("--iters", type=int, default=10)
     args = p.parse_args()
@@ -53,7 +55,8 @@ def main() -> None:
         scales = calibrate_quant_scales(
             G, variables, [(x[:16] * m[:16], m[:16])]
         )
-        G = G.clone(quant="w8a8", quant_scales=scales)
+        G = G.clone(quant="w8a8", quant_scales=scales,
+                    quant_resident=args.resident)
 
     fwd = jax.jit(lambda v, a, b: G.apply(v, a * b, b, False))
     stats = profile_fn(fwd, variables, x, m, iters=args.iters)

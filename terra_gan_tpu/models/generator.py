@@ -330,6 +330,11 @@ class PConvUNet(nn.Module):
         h = pad_to_match(h, x.shape[1], x.shape[2])
         m = pad_to_match(m, mask.shape[1], mask.shape[2])
         m = jnp.maximum(m, mask)
+        # dec1's output stays bf16 and the final conv unquantized even
+        # in resident mode: quantizing them was measured at 1328 -> 1386
+        # t/s but cost 0.136 dB hole PSNR on trained weights (the int8
+        # logit error lands directly on the output; all-stage resident
+        # without it is +0.002 dB) — BASELINE.md r3 "final-conv" study.
         extra = {"act_scale": (qs["dec1"][0],)} if resident else {}
         h, _ = self._stage(features=w, kernel_size=3, padding=1,
                            compute_dtype=cd, precision=self.precision,
