@@ -82,7 +82,12 @@ def serialize_generator(generator, variables, **kwargs) -> bytes:
         "in_avals": [str(a) for a in exp.in_avals],
         "out_avals": [str(a) for a in exp.out_avals],
         "calling_convention_version": exp.calling_convention_version,
-        "quant": getattr(generator, "quant", None),
+        "quant": (
+            "w8a8_resident"
+            if getattr(generator, "quant_resident", False)
+            and getattr(generator, "quant", None) == "w8a8"
+            else getattr(generator, "quant", None)
+        ),
         "size": kwargs.get("size", 512),
     }
     head = json.dumps(meta).encode()

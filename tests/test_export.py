@@ -117,6 +117,24 @@ class TestQuantArtifact:
         )
         assert float(np.abs(np.asarray(bf) - np.asarray(got)).max()) > 1e-6
 
+    def test_w8a8_resident_baked(self, small_model):
+        """The int8-resident dataflow (grouped integer upsample convs,
+        producer-side quantize) lowers to a hermetic artifact too, and
+        the metadata records the exact mode."""
+        G, variables, x, m = small_model
+        scales = calibrate_quant_scales(G, variables, [(x * m, m)])
+        Gr = G.clone(quant="w8a8", quant_scales=scales,
+                     quant_resident=True)
+        blob = X.serialize_generator(Gr, variables, size=S,
+                                     platforms=("cpu",))
+        assert X.describe(blob)["quant"] == "w8a8_resident"
+        got = X.load_exported(blob)(x, m)
+        ref = jax.jit(lambda v, a, b: Gr.apply(v, a * b, b, False))(
+            variables, x, m
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)
+
 
 class TestExportCLI:
     def test_script_end_to_end(self, tmp_path):

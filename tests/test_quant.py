@@ -337,11 +337,15 @@ class TestQuantPlumbing:
         out2 = q_svc._infer(img, msk)
         np.testing.assert_array_equal(out, out2)
 
-    def test_inpaint_directory_quant_mesh(self, tmp_path):
+    @pytest.mark.parametrize("mode", ["w8a8", "w8a8_resident"])
+    def test_inpaint_directory_quant_mesh(self, tmp_path, mode):
         """The quantized grid path composes with mesh sharding — the
         production evaluate-mode case (evaluation.quant + --mesh).
         Sharding is data-parallel over independent tiles, so outputs
-        must match the single-device quant run to <=1 uint8 level."""
+        must match the single-device quant run to <=1 uint8 level.
+        Resident mode adds int8-resident tensors and grouped integer
+        upsample convs under the sharded jit — the SPMD partitioner
+        must handle both."""
         from PIL import Image
 
         from terra_gan_tpu.evaluation.inference import inpaint_directory
@@ -368,11 +372,11 @@ class TestQuantPlumbing:
 
         solo = inpaint_directory(
             G, v, tmp_path / "images", tmp_path / "masks",
-            tmp_path / "solo", model_size=64, out_size=64, quant="w8a8",
+            tmp_path / "solo", model_size=64, out_size=64, quant=mode,
         )
         sharded = inpaint_directory(
             G, v, tmp_path / "images", tmp_path / "masks",
-            tmp_path / "mesh", model_size=64, out_size=64, quant="w8a8",
+            tmp_path / "mesh", model_size=64, out_size=64, quant=mode,
             mesh=make_mesh(8),
         )
         assert [p.name for p in sharded] == [p.name for p in solo]
