@@ -54,6 +54,11 @@ def main() -> None:
     p.add_argument("--conc", type=int, default=64)
     p.add_argument("--clients", type=int, default=8)
     p.add_argument(
+        "--quant", default=None, choices=["w8a8", "w8a8_resident"],
+        help="spawn the server with --quant MODE (lazy first-batch "
+        "calibration; the warmup request absorbs the rewarm)",
+    )
+    p.add_argument(
         "--attach", action="store_true",
         help="measure an already-running server on --port instead of "
         "spawning one (cold-cache warmup can exceed the health window "
@@ -68,7 +73,7 @@ def main() -> None:
                 sys.executable, "-m", "terra_gan_tpu.serving.server",
                 "--port", str(args.port), "--size", str(args.size),
                 "--max-batch", str(args.max_batch),
-            ],
+            ] + (["--quant", args.quant] if args.quant else []),
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
     base = f"http://127.0.0.1:{args.port}"
