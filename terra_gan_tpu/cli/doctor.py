@@ -148,6 +148,38 @@ def _check_model() -> str:
     return "jit forward finite on a 32x32 masked tile"
 
 
+def _check_quant() -> str:
+    """int8 path probe: the w8a8 modes (evaluation.quant, serving
+    --quant) need int8 convs and the resident dataflow to lower on this
+    backend; a broken path should surface pre-flight, not mid-serving."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models import PConvUNet
+    from ..ops.quant import calibrate_quant_scales, quantized_clone
+
+    G = PConvUNet(base_width=8)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 32, 32, 1), dtype=np.float32))
+    m = jnp.asarray((rng.random((1, 32, 32, 1)) > 0.3).astype(np.float32))
+    variables = jax.jit(G.init, static_argnums=3)(
+        jax.random.PRNGKey(0), x, m, False
+    )
+    ref = jax.jit(lambda v, a, b: G.apply(v, a * b, b, False))(
+        variables, x, m
+    )
+    scales = calibrate_quant_scales(G, variables, [(x * m, m)])
+    R = quantized_clone(G, "w8a8_resident", scales)
+    out = jax.jit(lambda v, a, b: R.apply(v, a * b, b, False))(
+        variables, x, m
+    )
+    err = float(jnp.max(jnp.abs(out - ref)))
+    if not np.isfinite(err) or err > 0.1:
+        raise RuntimeError(f"w8a8_resident diverges from exact: {err:.3g}")
+    return f"w8a8_resident forward lowers; max|err| {err:.1e} vs exact"
+
+
 def _check_mesh() -> str:
     import jax
     import numpy as np
@@ -250,6 +282,7 @@ def main(argv=None) -> int:
     r.run("compile-cache", _check_cache)
     r.run("native", _check_native)
     r.run("model", _check_model)
+    r.run("quant", _check_quant)
     r.run("mesh", _check_mesh)
     r.run("config", lambda: _check_config(args.config))
     n_fail = sum(1 for _, s, _ in r.rows if s == FAIL)

@@ -20,7 +20,7 @@ class TestChecks:
         assert doctor.main(["--cpu"]) == 0
         out = capsys.readouterr().out
         assert "[FAIL" not in out
-        assert "7 checks" in out
+        assert "8 checks" in out
 
     def test_failing_check_sets_exit_code(self, monkeypatch, capsys):
         def boom():
