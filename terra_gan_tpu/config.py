@@ -35,7 +35,7 @@ def _get(d: Optional[Dict], *keys, default=None):
 _KNOWN_KEYS = {
     "training": {
         "loss_weights", "modes", "faithful_boundary_default", "remat",
-        "vgg_remat", "remat_stages", "async_checkpoint",
+        "vgg_remat", "remat_stages", "async_checkpoint", "feed_workers",
         "vgg_weights_path", "compute_dtype", "log_interval",
     },
     "training.loss_weights": {"perceptual", "tv", "boundary"},
@@ -143,6 +143,13 @@ class TrainingConfig:
     # briefly holds a second copy of params+moments in HBM; the
     # reference writes synchronously).
     async_checkpoint: bool = False
+    # producer threads in the feed BatchLoader. None -> min(4, cores)
+    # (TERRA_GAN_TPU_FEED_WORKERS env overrides). Batch order is
+    # deterministic at any worker count, so this is purely a
+    # throughput knob — epoch 1 decodes scale with cores (the
+    # decoded-tile cache covers epochs >= 2). The reference pins
+    # DataLoader num_workers=0 (train.py:79).
+    feed_workers: Optional[int] = None
 
     @classmethod
     def from_dict(cls, d):
@@ -173,6 +180,10 @@ class TrainingConfig:
             remat_stages=tuple(_get(d, "remat_stages", default=()) or ()),
             async_checkpoint=bool(
                 _get(d, "async_checkpoint", default=False)
+            ),
+            feed_workers=(
+                None if _get(d, "feed_workers") is None
+                else int(_get(d, "feed_workers"))
             ),
         )
 

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import logging
 import os
-import queue
 import threading
 from pathlib import Path
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
@@ -216,12 +215,39 @@ class DirectMatchDataset:
             }
 
 
+def _default_feed_workers() -> int:
+    """Producer-thread count for BatchLoader (r4, VERDICT item 3).
+
+    Epoch 1 decodes through the producers at ~117-125 pairs/s per core
+    (BASELINE.md); an 8-chip DP mesh needs ~800 samples/s, so epoch 1
+    is ~6x feed-starved with one producer on any host class. cv2/PIL/
+    zlib release the GIL, so N threads scale the decode rate with
+    cores. Default: min(4, cores) — 1 on this 1-core bench host
+    (measured neutral), 4 on real pod hosts. Override via
+    TERRA_GAN_TPU_FEED_WORKERS (0/1 -> single producer).
+    """
+    env = os.environ.get("TERRA_GAN_TPU_FEED_WORKERS")
+    if env is not None:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            logger.warning("bad TERRA_GAN_TPU_FEED_WORKERS=%r ignored", env)
+    return max(1, min(4, os.cpu_count() or 1))
+
+
 class BatchLoader:
-    """Shuffling batcher with background prefetch.
+    """Shuffling batcher with N-worker background prefetch.
 
     Yields dicts of stacked NHWC float32 arrays. Non-array fields
     (tile_name) are collected into lists under the same key. The last
     partial batch is dropped when drop_last (static shapes under jit).
+
+    Batch ORDER is deterministic regardless of num_workers: workers
+    claim batch indices from a shared counter and publish into a
+    reorder buffer; the consumer emits strictly in sequence. The same
+    seed therefore produces the identical batch stream with 1 or N
+    workers (tests/test_data.py), which multi-host lockstep training
+    relies on.
     """
 
     def __init__(
@@ -233,16 +259,23 @@ class BatchLoader:
         drop_last: bool = False,
         prefetch: int = 2,
         strict: bool = False,
+        num_workers: Optional[int] = None,
     ):
         """strict: raise on a failed batch instead of skipping it —
         required in multi-host training, where a skip on one host
-        shifts its batch sequence out of collective lockstep."""
+        shifts its batch sequence out of collective lockstep.
+        num_workers: producer threads (None -> min(4, cores), env
+        TERRA_GAN_TPU_FEED_WORKERS overrides)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.strict = strict
+        self.num_workers = (
+            _default_feed_workers() if num_workers is None
+            else max(1, num_workers)
+        )
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
@@ -274,56 +307,85 @@ class BatchLoader:
             self.drop_last
         ) else range(0, n, self.batch_size)
         batches = [order[s : s + self.batch_size] for s in stops]
+        total = len(batches)
+        workers = max(1, min(self.num_workers, total)) if total else 0
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        SENTINEL = object()
+        # Reorder buffer: workers claim sequence numbers from a shared
+        # counter, load out of order, and publish results[seq]; the
+        # consumer emits strictly in seq order. Memory is bounded by
+        # never letting a worker claim past emit + prefetch + workers
+        # (at most that many decoded batches are in flight or buffered).
+        _SKIP = object()
+        results: Dict[int, object] = {}
+        cond = threading.Condition()
+        state = {"claim": 0, "emit": 0, "stop": False}
+        max_ahead = self.prefetch + workers
 
-        def producer():
-            last_err = None
-            produced = 0
-            try:
-                for b in batches:
-                    try:
-                        items = [self.dataset[int(i)] for i in b]
-                        q.put(self._collate(items))
-                        produced += 1
-                    except Exception as e:
-                        if self.strict:
-                            # multi-host lockstep: surface in the
-                            # consumer instead of silently shifting
-                            # this host's batch sequence. The finally
-                            # block emits the SENTINEL — putting it
-                            # here too would deadlock at prefetch=1
-                            # (two puts against one queue slot while
-                            # the consumer blocks in t.join()).
-                            q.put(("__error__", e))
-                            return
-                        # skip the bad batch, keep the epoch going —
-                        # the reference logs and continues per batch
+        def worker():
+            while True:
+                with cond:
+                    while (
+                        not state["stop"]
+                        and state["claim"] < total
+                        and state["claim"] >= state["emit"] + max_ahead
+                    ):
+                        cond.wait()
+                    if state["stop"] or state["claim"] >= total:
+                        return
+                    seq = state["claim"]
+                    state["claim"] += 1
+                b = batches[seq]
+                try:
+                    items = [self.dataset[int(i)] for i in b]
+                    out: object = self._collate(items)
+                except Exception as e:
+                    if not self.strict:
+                        # skip the bad batch, keep the epoch going — the
+                        # reference logs and continues per batch
                         # (train.py:268-270); without this, one corrupt
                         # tile would silently end the whole epoch
                         logger.error("batch load failed, skipping: %s", e)
-                        last_err = e
-            finally:
-                if batches and produced == 0 and last_err is not None:
-                    # EVERY batch failed: systematic (all files bad /
-                    # collate shape mismatch), not a per-tile skip —
-                    # surface it in the consumer instead of yielding
-                    # a silent empty epoch
-                    q.put(("__error__", last_err))
-                q.put(SENTINEL)
+                    out = ("__error__", e)
+                with cond:
+                    results[seq] = out
+                    cond.notify_all()
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is SENTINEL:
-                break
-            if isinstance(item, tuple) and item and item[0] == "__error__":
-                t.join()
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(workers)
+        ]
+        for t in threads:
+            t.start()
+        last_err = None
+        produced = 0
+        try:
+            for seq in range(total):
+                with cond:
+                    while seq not in results:
+                        cond.wait()
+                    item = results.pop(seq)
+                    state["emit"] = seq + 1
+                    cond.notify_all()
+                if isinstance(item, tuple) and item and item[0] == "__error__":
+                    if self.strict:
+                        # multi-host lockstep: surface instead of
+                        # silently shifting this host's batch sequence
+                        raise RuntimeError(
+                            "batch load failed in strict mode"
+                        ) from item[1]
+                    last_err = item[1]
+                    continue
+                produced += 1
+                yield item
+            if total and produced == 0 and last_err is not None:
+                # EVERY batch failed: systematic (all files bad /
+                # collate shape mismatch), not a per-tile skip
                 raise RuntimeError(
-                    "batch load failed in strict mode"
-                    if self.strict else "every batch failed to load"
-                ) from item[1]
-            yield item
-        t.join()
+                    "every batch failed to load"
+                ) from last_err
+        finally:
+            with cond:
+                state["stop"] = True
+                cond.notify_all()
+            for t in threads:
+                t.join()

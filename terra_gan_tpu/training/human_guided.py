@@ -123,6 +123,7 @@ class HumanGuidedTrainer:
         loader = BatchLoader(
             dataset, batch_size=hg.batch_size, shuffle=True,
             drop_last=False,
+            num_workers=self.config.training.feed_workers,
         )
         best_loss = float("inf")
         t0 = time.time()

@@ -279,6 +279,7 @@ def train(
     loader = BatchLoader(
         dataset, batch_size=batch_size, shuffle=True, seed=seed,
         drop_last=False, strict=multihost,
+        num_workers=tcfg.feed_workers,
     )
     val_loader = None
     if val_img_dir and val_mask_dir:
@@ -290,7 +291,7 @@ def train(
                 # schedule from the pod
                 val_loader = BatchLoader(
                     val_ds, batch_size=batch_size, shuffle=False,
-                    strict=multihost,
+                    strict=multihost, num_workers=tcfg.feed_workers,
                 )
         except Exception as e:
             logger.warning("validation dataset unavailable: %s", e)

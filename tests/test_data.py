@@ -325,6 +325,81 @@ class TestDatasets:
             )
             assert result["raised"] is True
 
+    def test_multi_worker_order_matches_single_worker(self, tmp_path):
+        """The reorder buffer makes batch order a pure function of the
+        seed: any worker count yields the identical batch stream
+        (VERDICT r3 item 3 'deterministic batch order regardless of
+        worker count'). Covers shuffle + ragged tail."""
+        img_dir, mask_dir = self._make_pair_dirs(tmp_path, n=9)
+        ds = InpaintingDataset(img_dir, mask_dir, size=32)
+        ref = list(BatchLoader(ds, batch_size=2, shuffle=True, seed=3,
+                               num_workers=1))
+        for workers in (2, 4, 8):
+            got = list(BatchLoader(ds, batch_size=2, shuffle=True, seed=3,
+                                   num_workers=workers))
+            assert len(got) == len(ref) == 5
+            for b_got, b_ref in zip(got, ref):
+                np.testing.assert_array_equal(b_got["image"], b_ref["image"])
+                np.testing.assert_array_equal(b_got["mask"], b_ref["mask"])
+
+    def test_multi_worker_skip_and_strict_semantics(self, tmp_path):
+        """Per-batch skip (non-strict) and first-bad-batch raise
+        (strict) behave identically at any worker count."""
+        img_dir, mask_dir = self._make_pair_dirs(tmp_path, n=8)
+        (img_dir / "t2.png").write_bytes(b"broken")
+        ds = InpaintingDataset(img_dir, mask_dir, size=32)
+        ref = list(BatchLoader(ds, batch_size=2, shuffle=False,
+                               num_workers=1))
+        got = list(BatchLoader(ds, batch_size=2, shuffle=False,
+                               num_workers=4))
+        assert len(got) == len(ref) == 3  # t2's batch skipped
+        for b_got, b_ref in zip(got, ref):
+            np.testing.assert_array_equal(b_got["image"], b_ref["image"])
+        with pytest.raises(RuntimeError, match="strict mode"):
+            list(BatchLoader(ds, batch_size=2, shuffle=False, strict=True,
+                             num_workers=4))
+
+    def test_multi_worker_early_abandon_no_deadlock(self, tmp_path):
+        """Watchdog: a consumer that stops mid-epoch (break) must not
+        leave workers blocked on the reorder window; the loader's
+        cleanup stops and joins them within the timeout."""
+        import threading
+
+        img_dir, mask_dir = self._make_pair_dirs(tmp_path, n=10)
+        ds = InpaintingDataset(img_dir, mask_dir, size=32)
+        done = {}
+
+        def drain():
+            loader = BatchLoader(ds, batch_size=1, shuffle=False,
+                                 num_workers=4, prefetch=1)
+            it = iter(loader)
+            next(it)
+            it.close()  # generator close runs the finally/join path
+            # a fresh full iteration still works after the abandon
+            done["n"] = len(list(loader))
+
+        t = threading.Thread(target=drain, daemon=True)
+        t.start()
+        t.join(timeout=60)
+        assert not t.is_alive(), "multi-worker BatchLoader deadlocked"
+        assert done["n"] == 10
+
+    def test_feed_workers_env_and_config(self, monkeypatch):
+        from terra_gan_tpu.data.dataset import _default_feed_workers
+
+        monkeypatch.delenv("TERRA_GAN_TPU_FEED_WORKERS", raising=False)
+        import os as _os
+        assert _default_feed_workers() == max(1, min(4, _os.cpu_count() or 1))
+        monkeypatch.setenv("TERRA_GAN_TPU_FEED_WORKERS", "7")
+        assert _default_feed_workers() == 7
+        monkeypatch.setenv("TERRA_GAN_TPU_FEED_WORKERS", "0")
+        assert _default_feed_workers() == 1
+        from terra_gan_tpu.config import TrainingConfig
+        assert TrainingConfig.from_dict(
+            {"feed_workers": 3}
+        ).feed_workers == 3
+        assert TrainingConfig.from_dict({}).feed_workers is None
+
 
 class TestMaskProcessing:
     def _synthetic_aerial(self, size=256):
