@@ -68,6 +68,7 @@ def run_cli(args):
 
 
 class TestPipelineCLI:
+    @pytest.mark.slow
     def test_full_flow(self, workspace):
         rng = np.random.default_rng(1)
 
@@ -125,6 +126,7 @@ class TestPipelineCLI:
         assert hg["human_guided"] is True
         assert hg["grid_square"] == "NJ00"
 
+    @pytest.mark.slow
     def test_mesh_flag_train_and_evaluate(self, workspace):
         """Full driver flow on the virtual 8-device mesh (round-2
         verdict weakness #6): --mesh 4x2 through --mode train (sharded
@@ -155,6 +157,7 @@ class TestPipelineCLI:
         assert len(inpainted) == 3
         assert Image.open(inpainted[0]).size == (500, 500)
 
+    @pytest.mark.slow
     def test_preemption_exit_75_and_resume(self, workspace, monkeypatch):
         """Pod-preemption drill through the real driver: an injected
         preemption (same code path as SIGTERM) saves the latest state to
@@ -191,6 +194,7 @@ class TestPipelineCLI:
         # the completed run consumed the preempted checkpoint
         assert not Path("ckpts/preempted.pth").exists()
 
+    @pytest.mark.slow
     def test_hg_preemption_resume(self, workspace, monkeypatch):
         """Human-guided preemption resume: re-running the same command
         must continue from the HG preempted.pth — NOT restart from the
@@ -233,6 +237,7 @@ class TestPipelineCLI:
         )
         assert not pre.exists()
 
+    @pytest.mark.slow
     def test_vgg_provenance_tagged(self, workspace):
         """Every run and exported checkpoint records which VGG weights
         the perceptual term used (round-2 verdict task #9): the tag

@@ -50,6 +50,7 @@ class TestProcessShard:
         assert flat == items
 
 
+@pytest.mark.slow
 class TestTwoProcessTrainStep:
     def test_matches_single_process(self, tmp_path):
         if len(jax.devices()) < 8:
@@ -193,6 +194,7 @@ def _build_workspace(root: Path, grid_wh: int = 4) -> None:
                 zf.write(p, p.relative_to(src))
 
 
+@pytest.mark.slow
 class TestTwoProcessCLI:
     def test_cli_train_on_two_hosts(self, tmp_path):
         """The REAL driver end-to-end on a 2-process group: each

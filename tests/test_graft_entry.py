@@ -10,6 +10,7 @@ import sys
 from pathlib import Path
 
 import jax
+import pytest
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -17,6 +18,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import __graft_entry__ as ge
 
 
+@pytest.mark.slow
 def test_entry_compiles_and_runs():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
@@ -26,5 +28,6 @@ def test_entry_compiles_and_runs():
     assert 0.0 <= arr.min() and arr.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)

@@ -186,6 +186,7 @@ class TestTrainStepParity:
 
 
 @requires_ref
+@pytest.mark.slow
 class TestTrajectoryParity:
     """Round-2 verdict task #4: the reference's observable behavior is
     a training CURVE, not one step (mvp_gan/src/train.py:159-219) — so
@@ -259,6 +260,7 @@ class TestTrajectoryParity:
 
 
 @requires_ref
+@pytest.mark.slow
 class TestHGTrajectoryParity:
     """Trajectory gate for the HUMAN-GUIDED fine-tune path (the GAN
     gate above found a real D-gradient bug in r3 that every value-level
@@ -369,6 +371,7 @@ class TestGradientParity:
         tg = tgrads["final.weight"].numpy()
         assert np.linalg.norm(jg - tg) / np.linalg.norm(tg) < 1e-3
 
+    @pytest.mark.slow
     def test_generator_grads_match_torch_f64(self):
         """Semantic gate: the same per-block comparison in float64
         (subprocess — jax_enable_x64 is process-global), where
