@@ -179,15 +179,14 @@ def inpaint_directory(
     masks_dir: str | Path,
     output_dir: str | Path,
     mesh=None,
-    # E2E window size: 128 measured best end-to-end on the bench host
-    # (chunk 128: 15.0-16.6 t/s vs chunk 32: 13.1-13.5 — its
-    # device->host relay charges ~0.5 s per fetch round trip, which
-    # eats the overlap gain of smaller windows; BASELINE.md r3 grid
-    # study). On PCIe hosts where fetch is ~free, smaller windows
-    # (32) pipeline decode/encode against compute and should win —
-    # callers there can pass chunk=32. Device throughput also peaks
-    # at batch 128 (1035 t/s, r2 sweep).
-    chunk: int = 128,
+    # E2E window size. "auto" (default) probes one device->host fetch
+    # round trip and picks the window + pipeline depth for the host
+    # class (parallel/infer.auto_chunk_policy): relay-attached -> 128
+    # monolithic (every fetch pays ~0.5 s RTT; r3 study: 15.0-16.6 t/s
+    # vs 13.1-13.5 at 32), PCIe-class -> 32 with deeper prefetch
+    # (decode/encode pipeline against compute). Fixed ints still
+    # accepted. Device throughput peaks at batch 128 (1035 t/s, r2).
+    chunk: int | str = "auto",
     model_size: int = MODEL_SIZE,
     out_size: int = OUTPUT_SIZE,
     io_workers: int = 8,
@@ -204,7 +203,15 @@ def inpaint_directory(
     <stem>_inpainted.png at out_size. Decode and encode run on host
     thread pools; the device sees one large sharded batch per chunk.
     """
-    from ..parallel.infer import BatchedInpainter
+    from ..parallel.infer import BatchedInpainter, auto_chunk_policy
+
+    prefetch = 2
+    if chunk == "auto":
+        dev = mesh.devices.flat[0] if mesh is not None else None
+        chunk, prefetch = auto_chunk_policy(dev)
+        logger.info(
+            "auto chunk policy: chunk=%d prefetch=%d", chunk, prefetch
+        )
 
     images_dir, masks_dir = Path(images_dir), Path(masks_dir)
     output_dir = Path(output_dir)
@@ -257,7 +264,6 @@ def inpaint_directory(
     with ThreadPoolExecutor(max_workers=io_workers) as pool:
 
         def loaded_chunks():
-            prefetch = 2
             futs = [pool.submit(load_window, w) for w in windows[:prefetch]]
             nxt = prefetch
             while futs:

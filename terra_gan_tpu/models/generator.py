@@ -219,6 +219,21 @@ class PConvUNet(nn.Module):
     # scales), and full-stage quantization (quant_stages None); silently
     # inactive on train-mode calls (training never quantizes).
     quant_resident: bool = False
+    # resident mode extended through the TAIL: dec1 writes its output
+    # int8 (at the calibrated "dec1:out" scale) and the final 64->1
+    # conv runs int8 x int8 -> int32 on the MXU. Measured +4.4%
+    # throughput at the headline shape, but PTQ costs ~0.14 dB hole
+    # PSNR (the int8 logit error lands directly on the output) — use
+    # only with checkpoints fine-tuned via qat_tail_scales below.
+    quant_tail: bool = False
+    # QAT tail fine-tune (train-mode): a mapping with a "dec1:out"
+    # scale (from calibrate_quant_scales). Train-mode forwards then
+    # fake-quantize dec1's output at that scale and the final conv's
+    # kernel per-output-channel, with straight-through gradients
+    # (ops/quant.fake_quant_*) — the forward sees exactly the deployed
+    # quant_tail numerics, so a few hundred fine-tune steps adapt the
+    # tail weights to the int8 noise. Eval-mode calls ignore it.
+    qat_tail_scales: Optional[Any] = None
 
     def _stage(self, **kwargs):
         from ..ops.pallas.pconv_kernel import pallas_stage_allowlist
@@ -330,12 +345,18 @@ class PConvUNet(nn.Module):
         h = pad_to_match(h, x.shape[1], x.shape[2])
         m = pad_to_match(m, mask.shape[1], mask.shape[2])
         m = jnp.maximum(m, mask)
-        # dec1's output stays bf16 and the final conv unquantized even
-        # in resident mode: quantizing them was measured at 1328 -> 1386
-        # t/s but cost 0.136 dB hole PSNR on trained weights (the int8
-        # logit error lands directly on the output; all-stage resident
-        # without it is +0.002 dB) — BASELINE.md r3 "final-conv" study.
+        # By default dec1's output stays bf16 and the final conv
+        # unquantized even in resident mode: quantizing them was
+        # measured at 1328 -> 1386 t/s but cost 0.136 dB hole PSNR on
+        # PTQ weights (the int8 logit error lands directly on the
+        # output; all-stage resident without it is +0.002 dB) —
+        # BASELINE.md r3 "final-conv" study. quant_tail opts the tail
+        # in for checkpoints fine-tuned with the QAT tail (which
+        # recovers the quality — scripts/exp_qat_tail.py).
+        tail = resident and self.quant_tail and "dec1:out" in qs
         extra = {"act_scale": (qs["dec1"][0],)} if resident else {}
+        if tail:
+            extra["out_quant_scale"] = qs["dec1:out"]
         h, _ = self._stage(features=w, kernel_size=3, padding=1,
                            compute_dtype=cd, precision=self.precision,
                            use_pallas=self.use_pallas, name="dec1",
@@ -345,16 +366,48 @@ class PConvUNet(nn.Module):
             "final_kernel", torch_conv_kernel_init, (3, 3, w, 1)
         )
         final_bias = self.param("final_bias", torch_conv_bias_init(9 * w), (1,))
-        hi = h if cd is None else h.astype(cd)
-        ki = final_kernel if cd is None else final_kernel.astype(cd)
-        out = lax.conv_general_dilated(
-            hi, ki, (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=(
-                jnp.promote_types(h.dtype, jnp.float32) if cd is None else None
-            ),
-            precision=self.precision,
-        ).astype(jnp.promote_types(x.dtype, jnp.float32)) + final_bias
+        qat = (
+            train
+            and self.qat_tail_scales is not None
+            and "dec1:out" in self.qat_tail_scales
+        )
+        if qat:
+            from ..ops.quant import fake_quant_act, fake_quant_weight
+
+            # straight-through fake quantization at the deployed tail's
+            # exact numerics: dec1's post-ReLU output at the calibrated
+            # static scale, the final kernel per-output-channel
+            h = fake_quant_act(h, self.qat_tail_scales["dec1:out"])
+            final_kernel = fake_quant_weight(final_kernel)
+        if tail:
+            # h is int8 at qs["dec1:out"]; the final conv runs on the
+            # int8 MXU with exact int32 accumulation, dequantizing in
+            # the epilogue (same contraction as conv(q_x*s_x, q_w*s_w))
+            from ..ops.quant import quantize_weight
+
+            w_q, s_w = quantize_weight(final_kernel)
+            y32 = lax.conv_general_dilated(
+                h, w_q, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            out = (
+                y32.astype(jnp.float32)
+                * (jnp.asarray(qs["dec1:out"], jnp.float32) * s_w)
+                + final_bias
+            ).astype(jnp.promote_types(x.dtype, jnp.float32))
+        else:
+            hi = h if cd is None else h.astype(cd)
+            ki = final_kernel if cd is None else final_kernel.astype(cd)
+            out = lax.conv_general_dilated(
+                hi, ki, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=(
+                    jnp.promote_types(h.dtype, jnp.float32)
+                    if cd is None else None
+                ),
+                precision=self.precision,
+            ).astype(jnp.promote_types(x.dtype, jnp.float32)) + final_bias
         out = nn.sigmoid(out)
 
         # Composite: holes from the net, valid pixels from the input

@@ -88,6 +88,37 @@ def quantize_out(out: jnp.ndarray, scale: float) -> jnp.ndarray:
     return q.astype(jnp.int8)
 
 
+def fake_quant_act(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Straight-through-estimator fake quantization of an activation.
+
+    Forward value is exactly `dequant(quant(x))` at the static scale —
+    the same numbers the deployed int8 path produces — while the
+    backward pass treats the round/clip as identity (STE), so training
+    adapts the upstream weights to the quantization noise. Used by the
+    QAT tail fine-tune (PConvUNet.qat_tail_scales) that banks the
+    final-conv int8 win BASELINE.md r3 measured (+4.4% throughput) but
+    rejected on PTQ quality (-0.136 dB).
+    """
+    dt = jnp.promote_types(x.dtype, jnp.float32)
+    xf = x.astype(dt)
+    s = jnp.asarray(scale, dt)
+    q = jnp.clip(jnp.round(xf / s), -127, 127) * s
+    return (xf + lax.stop_gradient(q - xf)).astype(x.dtype)
+
+
+def fake_quant_weight(kernel: jnp.ndarray) -> jnp.ndarray:
+    """STE fake quantization of a conv kernel, per-output-channel
+    symmetric — mirrors quantize_weight's inference-time scheme (the
+    scale is derived from the live weights, exactly as the deployed
+    path derives it from the checkpoint)."""
+    dt = jnp.promote_types(kernel.dtype, jnp.float32)
+    kf = kernel.astype(dt)
+    amax = lax.stop_gradient(jnp.max(jnp.abs(kf), axis=(0, 1, 2)))
+    s = jnp.maximum(amax, _EPS) / 127.0
+    q = jnp.clip(jnp.round(kf / s), -127, 127) * s
+    return (kf + lax.stop_gradient(q - kf)).astype(kernel.dtype)
+
+
 def int_upsample2x_s8(
     xq: jnp.ndarray, in_scale: float, out_scale: float
 ) -> jnp.ndarray:
@@ -216,7 +247,7 @@ def partial_conv2d_q8(
     return out, valid.astype(mask.dtype)
 
 
-QUANT_MODES = ("w8a8", "w8a8_resident")
+QUANT_MODES = ("w8a8", "w8a8_resident", "w8a8_resident_full")
 
 
 def quantized_clone(generator, quant: str, scales):
@@ -227,7 +258,20 @@ def quantized_clone(generator, quant: str, scales):
                       activations and integer-tap decoder upsampling
                       (PConvUNet.quant_resident; needs the ':out'
                       scales calibrate_quant_scales supplies).
+    'w8a8_resident_full' — resident mode extended through the tail:
+                      dec1's output is written int8 and the final
+                      64->1 conv runs on the int8 MXU (+4.4% measured,
+                      BASELINE.md r3). PTQ costs ~0.14 dB hole PSNR
+                      here; intended for checkpoints fine-tuned with
+                      the QAT tail (PConvUNet.qat_tail_scales /
+                      training.qat_tail in the loop), which recovers
+                      the quality — see scripts/exp_qat_tail.py.
     """
+    if quant == "w8a8_resident_full":
+        return generator.clone(
+            quant="w8a8", quant_scales=scales, quant_resident=True,
+            quant_tail=True,
+        )
     if quant == "w8a8_resident":
         return generator.clone(
             quant="w8a8", quant_scales=scales, quant_resident=True

@@ -19,6 +19,7 @@ ops under XLA and avoids the dynamic-slice lowering of
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -73,13 +74,68 @@ def _upsample2x_bilinear_conv(x: jnp.ndarray) -> jnp.ndarray:
     return out[:, 2 : 2 + 2 * h, 2 : 2 + 2 * w, :]
 
 
-def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
-    """NHWC 2x bilinear upsample, exact torch `align_corners=False` weights."""
+def _upsample2x_adjoint(g: jnp.ndarray) -> jnp.ndarray:
+    """Exact adjoint of the 2x bilinear upsample: [B,2H,2W,C] -> [B,H,W,C].
+
+    Derived from the stencil:
+      dx[i] = 0.25*g[2i-1] + 0.75*g[2i] + 0.75*g[2i+1] + 0.25*g[2i+2]
+    per axis, where the clamped borders contribute an extra 0.25*g[0]
+    at i=0 and 0.25*g[2n-1] at i=n-1 — which is EXACTLY what edge-
+    padding g by 1 on each side feeds into those taps. So the adjoint
+    is one depthwise k4 stride-2 conv with the same separable
+    [1/4,3/4,3/4,1/4] kernel — the mirror of the forward.
+
+    Measured note (r4 train profile): interleave/parity-split forms of
+    this adjoint (reshape to (n,2) + slices + concats) do NOT fuse on
+    TPU — each step materializes a relayout copy, +12 GB/step HBM at
+    batch 16, slower than this single conv.
+    """
+    b, h2, w2, c = g.shape
+    gp = jnp.pad(g, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    taps = jnp.array([0.25, 0.75, 0.75, 0.25], jnp.float32).astype(g.dtype)
+    kern = (jnp.outer(taps, taps)[:, :, None, None]
+            * jnp.ones((1, 1, 1, c), g.dtype))
+    return lax.conv_general_dilated(
+        gp, kern, (2, 2), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+def _upsample2x_bilinear_primal(x: jnp.ndarray) -> jnp.ndarray:
     if x.dtype == jnp.bfloat16:
         return _upsample2x_bilinear_conv(x)
     x = _upsample2x_linear_axis(x, axis=1)
     x = _upsample2x_linear_axis(x, axis=2)
     return x
+
+
+@jax.custom_vjp
+def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
+    """NHWC 2x bilinear upsample, exact torch `align_corners=False` weights.
+
+    Forward: one depthwise input-dilated conv for bf16 (fastest measured
+    form), the fused shift/stack stencil otherwise. Backward: the exact
+    hand-written adjoint (`_upsample2x_adjoint`) — the same linear map
+    as torch's `F.interpolate` backward. The custom_vjp exists so the
+    backward FORM is ours to choose (XLA's derived transpose of the
+    lhs-dilated depthwise conv is the hook's default shape; a Pallas
+    kernel can slot in here without touching callers).
+    """
+    return _upsample2x_bilinear_primal(x)
+
+
+def _upsample2x_bilinear_fwd(x):
+    return _upsample2x_bilinear_primal(x), None
+
+
+def _upsample2x_bilinear_bwd(_, g):
+    return (_upsample2x_adjoint(g),)
+
+
+upsample2x_bilinear.defvjp(
+    _upsample2x_bilinear_fwd, _upsample2x_bilinear_bwd
+)
 
 
 def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:

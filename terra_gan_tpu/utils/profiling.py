@@ -63,6 +63,72 @@ def profile_fn(
     }
 
 
+def device_op_table(logdir: str | Path) -> List[Dict[str, Any]]:
+    """Full device-op rows from a trace dir, one per distinct HLO op.
+
+    Unlike device_op_summary (which keeps every trace event, including
+    host-side python frames), this filters to events on `/device:*`
+    processes (fallback: events carrying HLO metadata when the trace
+    has no process names) and keeps the per-op roofline inputs the TPU
+    trace provides: accumulated duration, `model_flops`,
+    `bytes_accessed`, the semantic `tf_op` path (which distinguishes
+    jvp/transpose — forward vs backward), and the deepest repo frame of
+    `source_stack`. This is what the train-side roofline table
+    (scripts/profile_train.py, BASELINE.md r4) is built from.
+    """
+    rows: Dict[str, Dict[str, Any]] = {}
+    for fp in glob.glob(
+        str(Path(logdir) / "**" / "*.trace.json.gz"), recursive=True
+    ):
+        with gzip.open(fp, "rt") as fh:
+            data = json.load(fh)
+        evs = data.get("traceEvents", [])
+        device_pids = {
+            ev["pid"]
+            for ev in evs
+            if ev.get("ph") == "M"
+            and ev.get("name") == "process_name"
+            and str((ev.get("args") or {}).get("name", "")).startswith(
+                "/device:"
+            )
+        }
+        for ev in evs:
+            if ev.get("ph") != "X" or "dur" not in ev:
+                continue
+            args = ev.get("args") or {}
+            if device_pids and ev.get("pid") not in device_pids:
+                continue
+            # keep HLO ops only: step/region events (the jit_step span,
+            # per-iteration markers) carry no HLO metadata and would
+            # double-count every child op under them
+            if not (args.get("hlo_category") or args.get("long_name")
+                    or args.get("tf_op")):
+                continue
+            name = ev.get("name", "")
+            row = rows.setdefault(
+                name,
+                {
+                    "name": name,
+                    "ms": 0.0,
+                    "count": 0,
+                    "flops": 0.0,
+                    "bytes": 0.0,
+                    "tf_op": args.get("tf_op", ""),
+                    "source": args.get("source", ""),
+                    "source_stack": args.get("source_stack", ""),
+                    "category": args.get("hlo_category", ""),
+                    "long_name": args.get("long_name", ""),
+                },
+            )
+            row["ms"] += ev["dur"] / 1000.0
+            row["count"] += 1
+            row["flops"] += float(args.get("model_flops", 0) or 0)
+            row["bytes"] += float(args.get("raw_bytes_accessed",
+                                           args.get("bytes_accessed", 0))
+                                  or 0)
+    return sorted(rows.values(), key=lambda r: -r["ms"])
+
+
 def device_op_summary(
     logdir: str | Path, top: int = 25
 ) -> List[Tuple[str, float]]:

@@ -77,3 +77,66 @@ class TestInpaintDirectory:
             tmp_path / "out", model_size=64, out_size=100,
         )
         assert len(outs) == 4
+
+
+class TestAutoChunkPolicy:
+    """Startup fetch-probe chunk/pipeline policy (r4 verdict task #4).
+
+    The best grid window size is a property of the host attachment
+    (BASELINE.md r3 grid study): relay-attached devices pay ~0.5 s per
+    fetch round trip -> large monolithic windows; PCIe/local -> small
+    pipelined windows. auto_chunk_policy probes once and decides."""
+
+    def test_probe_measures_and_caches(self):
+        from terra_gan_tpu.parallel import infer as pinfer
+
+        pinfer._FETCH_PROBE_CACHE.clear()
+        rtt, bw = pinfer.probe_fetch()
+        assert rtt >= 0.0 and bw > 0
+        assert pinfer._FETCH_PROBE_CACHE  # cached
+        # second call returns the cached tuple without re-measuring
+        assert pinfer.probe_fetch() == (rtt, bw)
+
+    def test_policy_flips_on_fetch_cost(self, monkeypatch):
+        from terra_gan_tpu.parallel import infer as pinfer
+
+        # CPU/PCIe-class: fetch is ~free -> small pipelined windows
+        monkeypatch.setitem(
+            pinfer._FETCH_PROBE_CACHE,
+            (jax.devices()[0].platform, getattr(jax.devices()[0], "id", 0)),
+            (1e-4, 2e9),
+        )
+        assert pinfer.auto_chunk_policy() == (32, 3)
+        # relay-class: every fetch pays ~0.5 s -> monolithic windows
+        monkeypatch.setitem(
+            pinfer._FETCH_PROBE_CACHE,
+            (jax.devices()[0].platform, getattr(jax.devices()[0], "id", 0)),
+            (0.5, 8e6),
+        )
+        assert pinfer.auto_chunk_policy() == (128, 2)
+
+    def test_cpu_backend_resolves_small_pipelined(self):
+        # the CPU backend's device_get is a memcpy: the probe must land
+        # far under the 50 ms relay threshold and pick the 32/3 policy
+        from terra_gan_tpu.parallel import infer as pinfer
+
+        pinfer._FETCH_PROBE_CACHE.clear()
+        chunk, prefetch = pinfer.auto_chunk_policy()
+        assert (chunk, prefetch) == (32, 3)
+
+    def test_inpaint_directory_accepts_auto(self, tmp_path, model):
+        G, v = model
+        _write_split(tmp_path)
+        ref = inpaint_directory(
+            G, v, tmp_path / "images", tmp_path / "masks",
+            tmp_path / "ref", model_size=64, out_size=100, chunk=16,
+        )
+        out = inpaint_directory(
+            G, v, tmp_path / "images", tmp_path / "masks",
+            tmp_path / "auto", model_size=64, out_size=100, chunk="auto",
+        )
+        assert [p.name for p in out] == [p.name for p in ref]
+        for a, b in zip(out, ref):
+            np.testing.assert_array_equal(
+                np.asarray(Image.open(a)), np.asarray(Image.open(b))
+            )
