@@ -104,6 +104,17 @@ def main() -> None:
                 quant="w8a8", quant_scales=scales, quant_resident=True
             ))
         ),
+        # resident mode through the tail: dec1's output int8 + final
+        # conv on the int8 MXU. Quality contract: deploy on QAT-tail
+        # fine-tuned checkpoints (training.qat_tail), measured -0.003 dB
+        # vs bf16 after QAT vs -0.136 dB PTQ-only (scripts/
+        # exp_qat_tail.py, BASELINE.md r5)
+        "w8a8_resident_full": timed(
+            make_forward(generator.clone(
+                quant="w8a8", quant_scales=scales, quant_resident=True,
+                quant_tail=True,
+            ))
+        ),
     }
     # on backends where int8 convs don't win (e.g. CPU smoke runs), the
     # headline falls back to the bf16 default eval mode

@@ -223,6 +223,7 @@ def run_training_mode(
     successful: List[str] = []
     failed: List[str] = []
     metrics: Dict[str, Any] = {}
+    quant_scales: Optional[Dict[str, Any]] = None
 
     for zip_path in zips:
         try:
@@ -262,6 +263,11 @@ def run_training_mode(
                 image_size=_image_size(cfg),
             )
             state = result.pop("state")
+            # frozen int8 calibration scales from the QAT tail
+            # (training.qat_tail): ride in the master checkpoint so
+            # evaluate/serving quantize at EXACTLY the scales the
+            # fine-tune adapted the weights to
+            quant_scales = result.pop("quant_scales", quant_scales)
             metrics[parent] = result
             successful.append(parent)
         except TrainingPreempted:
@@ -312,6 +318,7 @@ def run_training_mode(
             "processed_grids": successful,
             "metrics": metrics,
             "vgg_weights_provenance": vgg_provenance,
+            **({"quant_scales": quant_scales} if quant_scales else {}),
         },
     )
     stamp = time.strftime("%Y%m%d_%H%M%S")
@@ -339,7 +346,11 @@ def run_evaluation_mode(
 ) -> bool:
     from ..data import PathManager, is_valid_parent_grid
     from ..data.visualization import DSMColorizer
-    from ..evaluation.inference import inpaint_directory, load_generator_variables
+    from ..evaluation.inference import (
+        inpaint_directory,
+        load_checkpoint_quant_scales,
+        load_generator_variables,
+    )
 
     pm = PathManager(cfg)
     processed = Path(cfg.data.processed_dir)
@@ -396,6 +407,23 @@ def run_evaluation_mode(
 
     G, _ = _build_models(cfg)
     variables = load_generator_variables(model_path)
+    quant_scales = None
+    if cfg.evaluation.quant is not None:
+        # QAT-tail checkpoints carry frozen calibration scales; deploy
+        # at those exact scales instead of self-calibrating (the
+        # fine-tuned weights are adapted to them)
+        quant_scales = load_checkpoint_quant_scales(model_path)
+        if quant_scales is not None:
+            logger.info(
+                "quant=%s using the checkpoint's frozen QAT scales",
+                cfg.evaluation.quant,
+            )
+        elif cfg.evaluation.quant == "w8a8_resident_full":
+            logger.warning(
+                "quant=w8a8_resident_full on a checkpoint without QAT "
+                "scales: self-calibrating; expect ~0.14 dB hole-PSNR "
+                "loss (train with training.qat_tail to recover it)"
+            )
     total = 0
     for parent in parents:
         paths = pm.create_parent_structure(parent)
@@ -409,6 +437,7 @@ def run_evaluation_mode(
             paths["output_inpainted"], mesh=mesh,
             model_size=_image_size(cfg),
             quant=cfg.evaluation.quant,
+            quant_scales=quant_scales,
         )
         if outs:
             DSMColorizer(

@@ -36,9 +36,10 @@ _KNOWN_KEYS = {
     "training": {
         "loss_weights", "modes", "faithful_boundary_default", "remat",
         "vgg_remat", "remat_stages", "async_checkpoint", "feed_workers",
-        "vgg_weights_path", "compute_dtype", "log_interval",
+        "vgg_weights_path", "compute_dtype", "log_interval", "qat_tail",
     },
     "training.loss_weights": {"perceptual", "tv", "boundary"},
+    "training.qat_tail": {"steps", "learning_rate"},
     "training.modes": {"initial", "human_guided"},
     "training.modes.initial": {
         "epochs", "batch_size", "learning_rate", "log_interval",
@@ -117,6 +118,24 @@ class HumanGuidedTraining:
 
 
 @dataclass
+class QATTail:
+    """Quantization-aware tail fine-tune appended to initial training.
+
+    steps > 0 runs `steps` extra optimizer steps after the epoch loop
+    with the generator's tail fake-quantized at deployed int8 numerics
+    (PConvUNet.qat_tail_scales, straight-through gradients), then the
+    checkpoint carries the frozen calibration scales so evaluate/serving
+    in `w8a8_resident_full` mode use the EXACT scales the fine-tune saw
+    (deployment contract: QAT scale == serving scale). Banks the +4.4%
+    final-conv int8 throughput that PTQ alone loses 0.14 dB on
+    (BASELINE.md final-conv study; protocol: scripts/exp_qat_tail.py).
+    """
+
+    steps: int = 0
+    learning_rate: float = 5e-5
+
+
+@dataclass
 class TrainingConfig:
     loss_weights: LossWeights = field(default_factory=LossWeights)
     initial: InitialTraining = field(default_factory=InitialTraining)
@@ -150,6 +169,9 @@ class TrainingConfig:
     # decoded-tile cache covers epochs >= 2). The reference pins
     # DataLoader num_workers=0 (train.py:79).
     feed_workers: Optional[int] = None
+    # QAT tail fine-tune (training.qat_tail.steps / .learning_rate):
+    # prerequisite for serving with evaluation.quant: w8a8_resident_full
+    qat_tail: QATTail = field(default_factory=QATTail)
 
     @classmethod
     def from_dict(cls, d):
@@ -185,6 +207,12 @@ class TrainingConfig:
                 None if _get(d, "feed_workers") is None
                 else int(_get(d, "feed_workers"))
             ),
+            qat_tail=QATTail(
+                steps=int(_get(d, "qat_tail", "steps", default=0)),
+                learning_rate=float(
+                    _get(d, "qat_tail", "learning_rate", default=5e-5)
+                ),
+            ),
         )
 
     def effective_boundary_weight(self) -> float:
@@ -206,17 +234,24 @@ class EvaluationConfig:
     # (ops/quant.py; measured 1.18x at the 512^2 headline shape with
     # hole-PSNR parity — BASELINE.md r3); "w8a8_resident" additionally
     # keeps inter-stage activations int8 in HBM with integer-tap
-    # decoder upsampling (1.28x total vs bf16). None (default) =
-    # bf16/fp32 exactly as before.
+    # decoder upsampling (1.28x total vs bf16). "w8a8_resident_full"
+    # extends resident mode through the tail (dec1 output int8 + the
+    # final conv on the int8 MXU, +4.4% measured) — intended for
+    # checkpoints fine-tuned with training.qat_tail, which carry the
+    # frozen scales the mode deploys at; on plain checkpoints it
+    # self-calibrates and costs ~0.14 dB hole PSNR (BASELINE.md).
+    # None (default) = bf16/fp32 exactly as before.
     quant: Optional[str] = None
 
     @classmethod
     def from_dict(cls, d):
+        from .ops.quant import QUANT_MODES
+
         m = _get(d, "metrics", default={})
         quant = _get(d, "quant", default=None)
-        if quant not in (None, "w8a8", "w8a8_resident"):
+        if quant is not None and quant not in QUANT_MODES:
             raise ValueError(
-                "evaluation.quant must be 'w8a8', 'w8a8_resident' or "
+                f"evaluation.quant must be one of {QUANT_MODES} or "
                 f"unset, got {quant!r}"
             )
         return cls(

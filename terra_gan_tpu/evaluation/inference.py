@@ -46,6 +46,24 @@ def load_generator_variables(checkpoint_path: str | Path) -> Dict[str, Any]:
     return torch_state_to_generator_vars(sd)
 
 
+def load_checkpoint_quant_scales(checkpoint_path: str | Path):
+    """Frozen int8 calibration scales from a QAT-tail checkpoint, or
+    None. Checkpoints produced by training.qat_tail carry the scales
+    the fine-tune adapted the weights to (training/loop.py); deploying
+    w8a8_resident_full at those exact scales is the quality contract —
+    self-calibration on different tiles would shift the scales out from
+    under the QAT'd weights."""
+    try:
+        obj = load_pth(checkpoint_path)
+    except Exception:
+        return None
+    if isinstance(obj, dict):
+        scales = obj.get("quant_scales")
+        if isinstance(scales, dict) and scales:
+            return {str(k): v for k, v in scales.items()}
+    return None
+
+
 def iter_tile_pairs(images_dir: str | Path, masks_dir: str | Path):
     """Yield (image_path, mask_path_or_None) for every ``<stem>.png``
     tile, paired via the split-directory convention
@@ -196,6 +214,10 @@ def inpaint_directory(
     # model-level at the 512^2/batch-128 headline shape with hole-PSNR
     # parity on trained weights (BASELINE.md r3 int8 study)
     quant: Optional[str] = None,
+    # pre-frozen calibration scales (a QAT-tail checkpoint's
+    # load_checkpoint_quant_scales): skips self-calibration so the
+    # deployed scales are exactly the ones the fine-tune saw
+    quant_scales: Optional[Dict[str, Any]] = None,
 ) -> List[Path]:
     """Batched, mesh-sharded inpainting of a whole test split.
 
@@ -284,7 +306,15 @@ def inpaint_directory(
 
         try:
             gen_chunks = loaded_chunks()
-            if quant is not None:
+            if quant is not None and quant_scales is not None:
+                from ..ops.quant import quantized_clone
+
+                inpainter = BatchedInpainter(
+                    quantized_clone(generator, quant, quant_scales),
+                    variables, mesh=mesh, chunk=chunk,
+                    quantize_uint8=True,
+                )
+            elif quant is not None:
                 from itertools import chain
 
                 from ..ops.quant import calibrate_quant_scales, quantized_clone
@@ -325,6 +355,7 @@ def inpaint_directory(
                     output_dir, mesh=mesh, chunk=chunk // 2,
                     model_size=model_size, out_size=out_size,
                     io_workers=io_workers, quant=quant,
+                    quant_scales=quant_scales,
                 )
             raise
     return results

@@ -564,6 +564,31 @@ def train(
             logger.info("%s time=%.2fs", msg, epoch_metrics["epoch_time"])
 
 
+    # ---- QAT tail fine-tune (training.qat_tail) -------------------------
+    # Runs only on COMPLETED runs (a preemption raises out above): the
+    # deployed w8a8_resident_full tail needs the final weights adapted
+    # to its int8 numerics, and the frozen calibration scales must ship
+    # with the checkpoint (deployment contract: QAT scale == serving
+    # scale). Protocol + measured quality: scripts/exp_qat_tail.py,
+    # BASELINE.md "QAT tail" section.
+    quant_scales = None
+    if tcfg.qat_tail.steps > 0:
+        state, quant_scales = _qat_tail_finetune(
+            generator, discriminator, state, loader, loss_cfg, tcfg,
+            mesh=mesh, vgg_params=vgg_params, tracker=tracker,
+        )
+        if checkpoint_path is not None and quant_scales is not None:
+            # the master/best checkpoints predate the fine-tune; persist
+            # the QAT-adapted weights + scales alongside them so a crash
+            # between here and the driver's final export loses nothing
+            do_save(
+                checkpoint_path.parent / "qat_tail.pth",
+                epoch, {"qat_tail_steps": tcfg.qat_tail.steps,
+                        "quant_scales": quant_scales},
+            )
+            if saver is not None:
+                saver.join()
+
     if checkpoint_path is not None:
         # a completed run supersedes any preempted.pth it resumed from;
         # consume it so a later fresh run can't silently pick it up
@@ -580,13 +605,113 @@ def train(
             final["training.validation_improvement"] = best_val - val_g
         tracker.log_metrics(final)
 
-    return {
+    result = {
         "best_train_loss": best_train,
         "best_val_loss": best_val if val_loader is not None else None,
         "total_time": total_time,
         "final_epoch": epoch,
         "state": state,
     }
+    if quant_scales is not None:
+        result["quant_scales"] = quant_scales
+    return result
+
+
+def _qat_tail_finetune(
+    generator, discriminator, state, loader, loss_cfg, tcfg,
+    mesh=None, vgg_params=None, tracker=None,
+):
+    """Short quantization-aware fine-tune of the generator tail.
+
+    1. Calibrate static int8 scales on training batches (frozen here
+       and returned for deployment — serving must quantize at the
+       scales the fine-tune saw).
+    2. Fine-tune `tcfg.qat_tail.steps` steps at `tcfg.qat_tail.
+       learning_rate` with dec1's output fake-quantized at the frozen
+       scale and the final kernel per-channel (straight-through
+       gradients, ops/quant.fake_quant_*): the forward computes exactly
+       the numbers the deployed w8a8_resident_full tail produces, so
+       the weights adapt to the int8 noise PTQ alone cannot absorb
+       (-0.136 dB, BASELINE.md final-conv study).
+
+    Returns (state, scales) — scales is the full calibrate_quant_scales
+    dict (plain floats, JSON/pth-serializable), usable directly as
+    ``PConvUNet(quant="w8a8", quant_scales=scales)``.
+    """
+    from ..ops.quant import calibrate_quant_scales
+
+    steps = tcfg.qat_tail.steps
+    lr = tcfg.qat_tail.learning_rate
+    logger.info("QAT tail: calibrating int8 scales on training batches")
+    calib_batches = []
+    for batch in loader:
+        img, msk = batch["image"], batch["mask"]
+        calib_batches.append((img * msk, msk))
+        if sum(b.shape[0] for b, _ in calib_batches) >= 16:
+            break
+    if not calib_batches:
+        logger.warning("QAT tail: no training batches to calibrate on")
+        return state, None
+    scales = calibrate_quant_scales(
+        generator, state.generator_variables(), calib_batches
+    )
+    scales = {k: v for k, v in scales.items()}  # plain dict of floats
+
+    G_qat = generator.clone(
+        qat_tail_scales={"dec1:out": scales["dec1:out"]}
+    )
+    raw_step = make_train_step(
+        G_qat, discriminator, adam(lr), adam(lr), loss_cfg,
+        jit_compile=mesh is None,
+        loss_compute_dtype=getattr(generator, "compute_dtype", None),
+    )
+    if mesh is not None:
+        from ..parallel.mesh import data_axis_size, shard_train_step
+
+        data_size = data_axis_size(mesh)
+        step_fn = shard_train_step(raw_step, mesh)
+        tail_step_fn = shard_train_step(raw_step, mesh, shard_data=False)
+    else:
+        data_size = 1
+        step_fn = raw_step
+        tail_step_fn = raw_step
+    # fresh small-lr optimizer state over the trained params (the main
+    # run's Adam moments are tuned to the big lr and the un-quantized
+    # objective; exp_qat_tail.py measured this protocol)
+    state = state.replace(
+        g_opt=adam(lr).init(state.g_params),
+        d_opt=adam(lr).init(state.d_params),
+    )
+    t0 = time.time()
+    it = 0
+    metrics = {"g_loss": float("nan")}
+    while it < steps:
+        made_progress = False
+        for batch in loader:
+            if it >= steps:
+                break
+            made_progress = True
+            n_tiles = next(
+                v.shape[0] for v in batch.values()
+                if isinstance(v, np.ndarray)
+            )
+            tail = mesh is not None and n_tiles % data_size != 0
+            dev_batch = _to_device(batch, mesh, shard_data=not tail)
+            fn = tail_step_fn if tail else step_fn
+            state, metrics = fn(state, dev_batch, vgg_params)
+            if tracker is not None and it % 50 == 0:
+                tracker.log_metrics(
+                    {"qat_tail.g_loss": float(metrics["g_loss"])}, step=it
+                )
+            it += 1
+        if not made_progress:
+            logger.warning("QAT tail: loader yielded no batches; stopping")
+            break
+    logger.info(
+        "QAT tail: %d steps in %.1fs (g_loss=%.4f)",
+        steps, time.time() - t0, float(metrics["g_loss"]),
+    )
+    return state, scales
 
 
 def _remove_preempted(pth_path: Path) -> None:

@@ -270,11 +270,15 @@ class TestQuantPlumbing:
         q = quantized_clone(base, "w8a8", scales)
         assert q.quant == "w8a8" and not q.quant_resident
         r = quantized_clone(base, "w8a8_resident", scales)
-        assert r.quant == "w8a8" and r.quant_resident
+        assert r.quant == "w8a8" and r.quant_resident and not r.quant_tail
+        f = quantized_clone(base, "w8a8_resident_full", scales)
+        assert f.quant == "w8a8" and f.quant_resident and f.quant_tail
         with pytest.raises(ValueError, match="unknown quant mode"):
             quantized_clone(base, "int4", scales)
 
-    @pytest.mark.parametrize("mode", ["w8a8", "w8a8_resident"])
+    @pytest.mark.parametrize(
+        "mode", ["w8a8", "w8a8_resident", "w8a8_resident_full"]
+    )
     def test_inpaint_directory_quant(self, tmp_path, mode):
         from PIL import Image
 
@@ -306,12 +310,94 @@ class TestQuantPlumbing:
             tmp_path / "q8", model_size=64, out_size=64, quant=mode,
         )
         assert [p.name for p in out] == [p.name for p in ref]
+        # the full mode quantizes the final logit itself (the PTQ noise
+        # the QAT tail exists to absorb — BASELINE.md final-conv study),
+        # so its per-pixel bound vs bf16 is looser than the inner modes'
+        tol = 8 if mode == "w8a8_resident_full" else 3
         for a, b in zip(out, ref):
             qa = np.asarray(Image.open(a), np.int16)
             qb = np.asarray(Image.open(b), np.int16)
             # int8 feature error through sigmoid + uint8 PNG quantization:
             # a few gray levels at most
-            assert np.abs(qa - qb).max() <= 3
+            assert np.abs(qa - qb).max() <= tol
+
+    def test_inpaint_directory_frozen_scales(self, tmp_path):
+        """Deploying with pre-frozen QAT scales (quant_scales=) must
+        bypass self-calibration and produce exactly the run that
+        self-calibrates on the same tiles — the w8a8_resident_full
+        deployment contract (QAT scale == serving scale)."""
+        from PIL import Image
+
+        from terra_gan_tpu.evaluation.inference import (
+            _load_pair,
+            inpaint_directory,
+        )
+
+        G = PConvUNet(base_width=16)
+        v = jax.jit(G.init, static_argnums=3)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 64, 1)), jnp.ones((1, 64, 64, 1)), False,
+        )
+        rng = np.random.default_rng(3)
+        (tmp_path / "images").mkdir()
+        (tmp_path / "masks").mkdir()
+        for i in range(4):
+            Image.fromarray(
+                rng.integers(0, 255, (64, 64), dtype=np.uint8)
+            ).save(tmp_path / "images" / f"ns{i:04d}.png")
+            Image.fromarray(
+                ((rng.random((64, 64)) > 0.3) * 255).astype(np.uint8)
+            ).save(tmp_path / "masks" / f"ns{i:04d}_mask_resized.png")
+
+        # freeze scales on the SAME tiles self-calibration would see
+        # (sorted pair order, first min(16, n)=4 tiles, image*mask)
+        loaded = [
+            _load_pair(
+                tmp_path / "images" / f"ns{i:04d}.png",
+                tmp_path / "masks" / f"ns{i:04d}_mask_resized.png",
+                size=64,
+            )
+            for i in range(4)
+        ]
+        imgs = np.concatenate([x for x, _ in loaded])
+        msks = np.concatenate([m for _, m in loaded])
+        scales = calibrate_quant_scales(
+            PConvUNet(base_width=16), v, [(imgs * msks, msks)]
+        )
+
+        auto = inpaint_directory(
+            G, v, tmp_path / "images", tmp_path / "masks",
+            tmp_path / "auto", model_size=64, out_size=64,
+            quant="w8a8_resident_full",
+        )
+        frozen = inpaint_directory(
+            G, v, tmp_path / "images", tmp_path / "masks",
+            tmp_path / "frozen", model_size=64, out_size=64,
+            quant="w8a8_resident_full", quant_scales=dict(scales),
+        )
+        assert [p.name for p in frozen] == [p.name for p in auto]
+        for a, b in zip(frozen, auto):
+            np.testing.assert_array_equal(
+                np.asarray(Image.open(a)), np.asarray(Image.open(b))
+            )
+
+    def test_load_checkpoint_quant_scales(self, tmp_path):
+        """QAT-tail checkpoints round-trip their frozen scales through
+        the .pth master-checkpoint format (training/loop.py qat_tail ->
+        evaluate-mode deployment)."""
+        from terra_gan_tpu.evaluation.inference import (
+            load_checkpoint_quant_scales,
+        )
+        from terra_gan_tpu.utils.torch_compat import save_pth
+
+        scales = {"enc1": (0.01,), "dec1:out": 0.02}
+        save_pth(tmp_path / "qat.pth", {"quant_scales": scales, "epoch": 3})
+        got = load_checkpoint_quant_scales(tmp_path / "qat.pth")
+        assert got is not None and got["dec1:out"] == pytest.approx(0.02)
+        # checkpoints without scales (every pre-QAT checkpoint) -> None
+        save_pth(tmp_path / "plain.pth", {"epoch": 3})
+        assert load_checkpoint_quant_scales(tmp_path / "plain.pth") is None
+        assert load_checkpoint_quant_scales(tmp_path / "missing.pth") is None
 
     def test_serving_lazy_calibration(self):
         from terra_gan_tpu.serving import InpaintService
@@ -337,7 +423,9 @@ class TestQuantPlumbing:
         out2 = q_svc._infer(img, msk)
         np.testing.assert_array_equal(out, out2)
 
-    @pytest.mark.parametrize("mode", ["w8a8", "w8a8_resident"])
+    @pytest.mark.parametrize(
+        "mode", ["w8a8", "w8a8_resident", "w8a8_resident_full"]
+    )
     def test_inpaint_directory_quant_mesh(self, tmp_path, mode):
         """The quantized grid path composes with mesh sharding — the
         production evaluate-mode case (evaluation.quant + --mesh).

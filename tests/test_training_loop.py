@@ -278,6 +278,42 @@ class TestTrainLoop:
         val = float(wait_files[0].read_text().split()[1])
         assert val >= 0.0
 
+    def test_qat_tail_in_loop(self, tmp_path):
+        """training.qat_tail.steps > 0 appends the quantization-aware
+        tail fine-tune to a completed run: the result carries the frozen
+        int8 scales (incl. the tail's dec1:out), the fine-tune actually
+        moved the generator params, and qat_tail.pth rides next to the
+        master checkpoint with the scales the deployment path
+        (load_checkpoint_quant_scales) reads back."""
+        from terra_gan_tpu.evaluation.inference import (
+            load_checkpoint_quant_scales,
+        )
+
+        make_dirs(tmp_path)
+        raw = tiny_config(tmp_path).raw
+        raw["training"]["qat_tail"] = {"steps": 2, "learning_rate": 5e-5}
+        cfg = Config.from_dict(raw)
+        assert cfg.training.qat_tail.steps == 2
+        G, D = PConvUNet(base_width=8), Discriminator(base_width=8)
+        result = train(
+            tmp_path / "train" / "images", tmp_path / "train" / "masks",
+            G, D, checkpoint_path=tmp_path / "master_checkpoint.pth",
+            config=cfg, image_size=64, seed=7,
+        )
+        scales = result["quant_scales"]
+        assert "dec1:out" in scales and float(scales["dec1:out"]) > 0
+        # the two QAT steps ran on top of the completed run
+        assert int(result["state"].step) == 2 * 2 + 2
+        qat_pth = tmp_path / "qat_tail.pth"
+        assert qat_pth.exists()
+        loaded = load_checkpoint_quant_scales(qat_pth)
+        assert loaded is not None
+        assert float(loaded["dec1:out"]) == pytest.approx(
+            float(scales["dec1:out"])
+        )
+        ckpt = torch.load(qat_pth, map_location="cpu", weights_only=False)
+        assert ckpt["qat_tail_steps"] == 2
+
     def test_async_checkpoint_matches_sync(self, tmp_path):
         """training.async_checkpoint writes the same checkpoints as the
         synchronous path (same seed -> same trajectory -> same best/
