@@ -125,6 +125,23 @@ def _load_pair(
     return x, m
 
 
+def _load_pair_u8(
+    image_path: str | Path, mask_path: str | Path, size: int = MODEL_SIZE
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Raw decoded bytes for the device-normalizing grid path.
+
+    Same decode+resize as _load_pair but the float conversion moves on
+    device (BatchedInpainter.forward: u8 -> f32 / 255, mask > 0 —
+    bit-identical math), so the host->device transfer carries 1
+    byte/px instead of 4. Pairs with quantize_uint8 on the fetch side:
+    grid e2e moves raw bytes in BOTH directions (BASELINE.md r5)."""
+    img = _open_gray(image_path).resize((size, size), Image.BILINEAR)
+    mask = _open_gray(mask_path).resize((size, size), Image.BILINEAR)
+    x = np.asarray(img, np.uint8)[None, ..., None]
+    m = np.asarray(mask, np.uint8)[None, ..., None]
+    return x, m
+
+
 def save_tile(
     array01: np.ndarray, path: str | Path, out_size: int = OUTPUT_SIZE
 ) -> None:
@@ -261,7 +278,7 @@ def inpaint_directory(
         stems, imgs, msks = [], [], []
         for p in window:
             try:
-                x, m = _load_pair(*p, size=model_size)
+                x, m = _load_pair_u8(*p, size=model_size)
             except Exception as e:
                 # reference behavior: skip the bad tile, keep the grid
                 # going (main_pipeline.py:528-530)
@@ -323,9 +340,13 @@ def inpaint_directory(
                 if first is not None:
                     stems0, imgs0, msks0 = first
                     n = min(16, len(stems0))
+                    # windows carry raw uint8 (device-normalizing path);
+                    # calibration applies the exact same normalization
+                    # on host (u8/255, mask > 0 — bit-identical)
+                    cx = imgs0[:n].astype(np.float32) / 255.0
+                    cm = (msks0[:n] > 0).astype(np.float32)
                     scales = calibrate_quant_scales(
-                        generator, variables,
-                        [(imgs0[:n] * msks0[:n], msks0[:n])],
+                        generator, variables, [(cx * cm, cm)],
                     )
                     inpainter = BatchedInpainter(
                         quantized_clone(generator, quant, scales),

@@ -138,10 +138,20 @@ class BatchedInpainter:
         self.variables = jax.device_put(variables, replicated(self.mesh))
 
         def forward(variables, images, masks):
+            import jax.numpy as jnp
+
+            # uint8 ingest: host->device transfer of raw decoded bytes
+            # (4x fewer than float32), normalized on device exactly as
+            # the host loader would (u8 -> f32 /255; mask > 0). On this
+            # environment's relay tunnel the float32 input upload was
+            # the single largest byte stream of grid e2e (~268 MB per
+            # 128-tile window vs 33.5 MB down) — BASELINE.md r5.
+            if images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32) / 255.0
+            if masks.dtype == jnp.uint8:
+                masks = (masks > 0).astype(jnp.float32)
             out = generator.apply(variables, images * masks, masks, False)
             if quantize_uint8:
-                import jax.numpy as jnp
-
                 out = (jnp.clip(out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
             return out
 
