@@ -126,9 +126,11 @@ class QATTail:
     (PConvUNet.qat_tail_scales, straight-through gradients), then the
     checkpoint carries the frozen calibration scales so evaluate/serving
     in `w8a8_resident_full` mode use the EXACT scales the fine-tune saw
-    (deployment contract: QAT scale == serving scale). Banks the +4.4%
-    final-conv int8 throughput that PTQ alone loses 0.14 dB on
-    (BASELINE.md final-conv study; protocol: scripts/exp_qat_tail.py).
+    (deployment contract: QAT scale == serving scale). Targets the
+    +4.4% final-conv int8 throughput that PTQ alone loses ~0.14 dB on;
+    the fine-tune recovers part of that penalty — measured 0.07 of
+    0.42 dB on the synthetic rig, a trade rather than a free win
+    (BASELINE.md r5; protocol: scripts/exp_qat_tail.py).
     """
 
     steps: int = 0

@@ -95,9 +95,10 @@ def fake_quant_act(x: jnp.ndarray, scale: float) -> jnp.ndarray:
     the same numbers the deployed int8 path produces — while the
     backward pass treats the round/clip as identity (STE), so training
     adapts the upstream weights to the quantization noise. Used by the
-    QAT tail fine-tune (PConvUNet.qat_tail_scales) that banks the
+    QAT tail fine-tune (PConvUNet.qat_tail_scales) targeting the
     final-conv int8 win BASELINE.md r3 measured (+4.4% throughput) but
-    rejected on PTQ quality (-0.136 dB).
+    rejected on PTQ quality (-0.136 dB); the measured fine-tune
+    recovers part, not all, of that penalty (BASELINE.md r5).
     """
     dt = jnp.promote_types(x.dtype, jnp.float32)
     xf = x.astype(dt)
@@ -261,11 +262,12 @@ def quantized_clone(generator, quant: str, scales):
     'w8a8_resident_full' — resident mode extended through the tail:
                       dec1's output is written int8 and the final
                       64->1 conv runs on the int8 MXU (+4.4% measured,
-                      BASELINE.md r3). PTQ costs ~0.14 dB hole PSNR
-                      here; intended for checkpoints fine-tuned with
-                      the QAT tail (PConvUNet.qat_tail_scales /
-                      training.qat_tail in the loop), which recovers
-                      the quality — see scripts/exp_qat_tail.py.
+                      BASELINE.md r3). PTQ costs ~0.1-0.4 dB hole PSNR
+                      here; checkpoints fine-tuned with the QAT tail
+                      (PConvUNet.qat_tail_scales / training.qat_tail
+                      in the loop) recover a measured 0.07 of 0.42 dB
+                      — a throughput/quality trade, not lossless
+                      (BASELINE.md r5, scripts/exp_qat_tail.py).
     """
     if quant == "w8a8_resident_full":
         return generator.clone(
