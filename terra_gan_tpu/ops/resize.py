@@ -102,8 +102,38 @@ def _upsample2x_adjoint(g: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _pallas_up_on(shape, dtype) -> bool:
+    """Use the Pallas stencil kernel (ops/pallas/upsample_kernel.py)?
+
+    Default OFF: on this toolchain's remote Mosaic build the kernel is
+    numerically exact but runs ~7x SLOWER than the depthwise-conv form
+    at the dec1 shape (BASELINE.md r5 — the same model-level verdict
+    as the fused PConv kernels, ops/pallas/pconv_kernel.py). The hook
+    and kernel stay shipped so a toolchain where Mosaic pipelines
+    these blocks at bandwidth can flip them on:
+    TERRA_GAN_TPU_PALLAS_UPSAMPLE=1 (bf16, single-device — a
+    pallas_call inside a pjit-sharded program would block XLA's SPMD
+    partitioner, so mesh runs keep the conv forms regardless).
+    """
+    from .pallas.upsample_kernel import (
+        pallas_upsample_enabled, supported,
+    )
+
+    return (
+        dtype == jnp.bfloat16
+        and len(shape) == 4
+        and supported(shape)
+        and jax.device_count() == 1
+        and pallas_upsample_enabled(default=False)
+    )
+
+
 def _upsample2x_bilinear_primal(x: jnp.ndarray) -> jnp.ndarray:
     if x.dtype == jnp.bfloat16:
+        if _pallas_up_on(x.shape, x.dtype):
+            from .pallas.upsample_kernel import upsample2x_fwd_pallas
+
+            return upsample2x_fwd_pallas(x)
         return _upsample2x_bilinear_conv(x)
     x = _upsample2x_linear_axis(x, axis=1)
     x = _upsample2x_linear_axis(x, axis=2)
@@ -130,6 +160,13 @@ def _upsample2x_bilinear_fwd(x):
 
 
 def _upsample2x_bilinear_bwd(_, g):
+    n, h2, w2, c = g.shape
+    if g.dtype == jnp.bfloat16 and _pallas_up_on(
+        (n, h2 // 2, w2 // 2, c), g.dtype
+    ) and h2 % 2 == 0 and w2 % 2 == 0:
+        from .pallas.upsample_kernel import upsample2x_bwd_pallas
+
+        return (upsample2x_bwd_pallas(g),)
     return (_upsample2x_adjoint(g),)
 
 
