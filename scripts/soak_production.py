@@ -13,10 +13,15 @@ moments intact, best-model master untouched — and run to epoch 100.
 
 Verified at the end, printed as one JSON line:
   * exit codes 75 then 0;
-  * loss-curve continuity: every epoch 1..100 logged exactly once
+  * loss-curve continuity: every epoch 0..99 logged exactly once
     across the two runs' metric series (no reset, no gap, no repeat);
-  * best-model semantics: the master checkpoint's epoch is the argmin
-    of the combined validation.g_loss series;
+  * best-model semantics: the tracker's last best_model_validation
+    write is at the argmin of the combined validation.g_loss series
+    (the during-training best survives the preemption because the
+    resumed run inherits best_val instead of a fresh inf), while the
+    final master checkpoint holds the FINAL epoch's state — the
+    reference's own end-of-pipeline contract, which overwrites master
+    with the final weights (main_pipeline.py:386-412);
   * the produced mlruns tree loads in analysis/runs.py.
 
 Usage: python scripts/soak_production.py [--epochs 100]
@@ -171,7 +176,12 @@ def main() -> int:
     work = Path(args.workdir)
     build_workspace(work, args.grid, args.asc_size, args.epochs)
     env = dict(os.environ)
-    env["PYTHONPATH"] = str(REPO)
+    # PREPEND the repo: replacing PYTHONPATH would drop entries the
+    # platform needs (e.g. the dir whose sitecustomize registers the
+    # JAX PJRT plugin named in JAX_PLATFORMS).
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(REPO)] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
     env["EXPERIMENT_MODE"] = "true"
 
     rc1, wall1 = run_until_epoch(
@@ -198,8 +208,9 @@ def main() -> int:
     val = epoch_series(work, "validation.g_loss")
     epochs_logged = sorted(g)
     dupes = [e for e, v in g.items() if len(v) > 1]
+    # reference epoch numbering is 0-based (train.py:159)
     continuity = (
-        epochs_logged == list(range(1, args.epochs + 1)) and not dupes
+        epochs_logged == list(range(args.epochs)) and not dupes
     )
 
     import torch
@@ -208,8 +219,33 @@ def main() -> int:
         work / "ckpts" / "master_checkpoint.pth", map_location="cpu",
         weights_only=False,
     )
-    val_best = min(val, key=lambda e: val[e][0]) if val else None
-    best_ok = val_best is not None and master.get("epoch") == val_best
+    # earliest epoch achieving the global min — what the loop's strict
+    # `val_g < best_val` keeps chronologically (each epoch appears once
+    # when continuity holds)
+    val_best = None
+    if val:
+        mv = min(v[0] for v in val.values())
+        val_best = min(e for e in val if val[e][0] == mv)
+    # chronologically-last best_model_validation write across both runs
+    best_writes = []
+    for path in glob.glob(
+        str(work / "mlruns" / "*" / "*" / "metrics"
+            / "model.best_model_validation.epoch")
+    ):
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2:
+                    best_writes.append((int(parts[0]), float(parts[1])))
+    tracked_best = int(max(best_writes)[1]) if best_writes else None
+    # reference contract: the final master holds the FINAL epoch's
+    # state (main_pipeline.py:386-412); the best-val weights are the
+    # tracker's best_model_validation artifact
+    best_ok = (
+        val_best is not None
+        and tracked_best == val_best
+        and master.get("epoch") == args.epochs - 1
+    )
 
     sys.path.insert(0, str(REPO))
     from terra_gan_tpu.analysis.runs import load_runs
@@ -225,6 +261,7 @@ def main() -> int:
         "duplicate_epochs": dupes,
         "loss_curve_continuous": continuity,
         "master_epoch": master.get("epoch"),
+        "tracked_best_epoch": tracked_best,
         "val_argmin_epoch": val_best,
         "best_model_semantics_ok": best_ok,
         "mlruns_loaded_runs": len(runs),

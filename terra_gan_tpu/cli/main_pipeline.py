@@ -161,13 +161,21 @@ def _init_master_state(cfg, input_model: Optional[str], image_size=512):
         "_BASELINE_MODEL/BASELINE_MODEL.pth",
         preempted=master.parent / "preempted.pth",
     )
+    resume = None
     if ckpt is not None:
         try:
             state, extra = import_pth(ckpt, state)
             logger.info("loaded checkpoint %s (epoch %s)", ckpt, extra.get("epoch"))
+            if extra.get("preempted"):
+                # a preempted.pth carries the interrupted epoch, the
+                # best losses so far, and the parent grid it belongs
+                # to — run_training_mode fast-forwards that parent's
+                # train() so each scheduled epoch runs exactly once
+                # across the preemption (training/loop.py:train)
+                resume = extra
         except Exception as e:
             logger.error("checkpoint load failed (%s); fresh init", e)
-    return G, D, state
+    return G, D, state, resume
 
 
 # ---------------------------------------------------------------------------
@@ -188,7 +196,7 @@ def run_training_mode(
         return False
 
     pm = PathManager(cfg)
-    G, D, state = _init_master_state(cfg, input_model)
+    G, D, state, resume = _init_master_state(cfg, input_model)
     from ..parallel import broadcast_from_primary, is_multiprocess
 
     if is_multiprocess():
@@ -252,6 +260,17 @@ def run_training_mode(
                 logger.warning("split visualization failed: %s", e)
 
             proc = Path(cfg.data.processed_dir) / parent
+            resume_kwargs = {}
+            if resume is not None and resume.get("parent") in (None, parent):
+                # fast-forward only the parent grid whose schedule the
+                # preemption interrupted (matched by the tag preempt_extra
+                # stamps into preempted.pth); other parents run their
+                # full schedule as always
+                resume_kwargs = {
+                    "start_epoch": int(resume.get("epoch", 0)),
+                    "resume_best": resume,
+                }
+                resume = None
             result = train(
                 proc / "train" / "images", proc / "train" / "masks",
                 G, D, state=state,
@@ -261,6 +280,8 @@ def run_training_mode(
                 val_mask_dir=proc / "val" / "masks",
                 vgg_params=vgg, mesh=mesh,
                 image_size=_image_size(cfg),
+                preempt_extra={"parent": parent},
+                **resume_kwargs,
             )
             state = result.pop("state")
             # frozen int8 calibration scales from the QAT tail

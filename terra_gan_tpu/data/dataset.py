@@ -289,6 +289,22 @@ class BatchLoader:
             self._rng.shuffle(idx)
         return idx
 
+    def set_epoch(self, epoch: int) -> None:
+        """Fast-forward the shuffle stream to epoch ``epoch``.
+
+        Preemption resume (training/loop.py): after a mid-run restart
+        the NEXT ``__iter__`` must produce the batch order epoch
+        ``epoch`` would have had in an uninterrupted run. Each epoch's
+        permutation comes from the same rng stream, so draw and discard
+        one permutation per skipped epoch — the stream position, and
+        therefore every later epoch's order, stays a pure function of
+        (seed, epoch) regardless of how many resumes it took to get
+        there (the multi-host lockstep guarantee depends on this).
+        """
+        while self._epoch < epoch:
+            self._order()
+            self._epoch += 1
+
     def _collate(self, items: List[Dict]) -> Dict:
         out: Dict = {}
         for key in items[0]:

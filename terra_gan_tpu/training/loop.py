@@ -247,11 +247,23 @@ def train(
     mesh=None,
     image_size: int = 512,
     seed: int = 0,
+    start_epoch: int = 0,
+    resume_best: Optional[Dict[str, float]] = None,
+    preempt_extra: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
     """Adversarial training over one grid's train split.
 
     Returns {'best_train_loss', 'best_val_loss', 'total_time',
     'final_epoch', 'state'} (reference contract + the final state).
+
+    start_epoch / resume_best: preemption resume. A preempted.pth
+    stores the epoch it interrupted plus the best losses seen so far;
+    passing them back (cli/main_pipeline.py) makes the resumed run
+    finish epochs [start_epoch, epochs) — each epoch of the schedule
+    runs and logs exactly once across the runs, and the best-model
+    master is only overwritten by a validation loss that beats the
+    PRE-preemption best, not a fresh inf. (The reference has no
+    preemption at all — train.py:159 always runs range(epochs).)
     """
     config = config or Config()
     tcfg = config.training
@@ -329,8 +341,21 @@ def train(
 
     best_val = float("inf")
     best_train = float("inf")
+    if resume_best:
+        best_val = float(resume_best.get("best_val_loss", best_val))
+        best_train = float(resume_best.get("best_train_loss", best_train))
     t_start = time.time()
     epochs = tcfg.initial.epochs
+    start_epoch = max(0, min(int(start_epoch), epochs))
+    if start_epoch:
+        # align the shuffle stream so epoch k's batch order matches the
+        # uninterrupted run's (and, multi-host, every other host's)
+        loader.set_epoch(start_epoch)
+        logger.info(
+            "resuming training at epoch %d/%d (best_val=%s)",
+            start_epoch, epochs,
+            f"{best_val:.4f}" if best_val != float("inf") else "n/a",
+        )
     log_interval = tcfg.initial.log_interval
     ckpt_interval = tcfg.initial.checkpoint_interval
     checkpoint_path = Path(checkpoint_path) if checkpoint_path else None
@@ -362,7 +387,7 @@ def train(
             # flush any in-flight write on every exit path (normal,
             # preempted, or failed) so checkpoints are never torn
             _stack.callback(saver.join)
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             t_epoch = time.time()
             sums: Dict[str, float] = {}
             n_batches = 0
@@ -409,7 +434,16 @@ def train(
                             saver.join()  # never race an async write
                         _save(
                             preempted_path, state, epoch, lr, config,
-                            {"preempted": True},
+                            # best losses ride along so the resumed run
+                            # compares against the pre-preemption best
+                            # instead of a fresh inf
+                            {"preempted": True,
+                             "best_val_loss": best_val,
+                             "best_train_loss": best_train,
+                             # caller context (e.g. which parent grid's
+                             # schedule this epoch belongs to) so resume
+                             # applies the fast-forward to the right run
+                             **(preempt_extra or {})},
                         )
                     raise TrainingPreempted(
                         state=state, epoch=epoch, checkpoint=preempted_path

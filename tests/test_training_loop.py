@@ -449,6 +449,53 @@ class TestPreemption:
         assert not preempted.exists()
         assert not preempted.with_suffix(".orbax").exists()
 
+    def test_resume_fast_forwards_to_preempted_epoch(
+        self, tmp_path, monkeypatch
+    ):
+        """r5: a resumed run finishes the REMAINING epochs of the
+        schedule (start_epoch from preempted.pth) instead of re-running
+        the whole range, and compares validation against the
+        pre-preemption best instead of a fresh inf — together these
+        give the 'every epoch logged exactly once, best-model master
+        intact' soak contract (scripts/soak_production.py)."""
+        from terra_gan_tpu.training import TrainingPreempted
+
+        make_dirs(tmp_path)
+        cfg = tiny_config(tmp_path, epochs=3)  # 2 tiles/batch, 2 batches
+        G, D = PConvUNet(base_width=8), Discriminator(base_width=8)
+        ckpt = tmp_path / "master_checkpoint.pth"
+
+        # preempt entering epoch 1: epoch 0's 2 batches are committed
+        monkeypatch.setenv("TERRA_GAN_TPU_FAULT", "preempt@1:0")
+        with pytest.raises(TrainingPreempted) as ei:
+            train(
+                tmp_path / "train" / "images", tmp_path / "train" / "masks",
+                G, D, checkpoint_path=ckpt, config=cfg, image_size=64,
+                preempt_extra={"parent": "NJ00"},
+            )
+        assert ei.value.epoch == 1
+        restored, extra = import_pth(tmp_path / "preempted.pth", ei.value.state)
+        assert extra["epoch"] == 1
+        assert extra["parent"] == "NJ00"  # preempt_extra rides along
+        # best-so-far rides in the checkpoint for the resume to inherit
+        assert np.isfinite(extra["best_train_loss"])
+
+        monkeypatch.delenv("TERRA_GAN_TPU_FAULT")
+        result = train(
+            tmp_path / "train" / "images", tmp_path / "train" / "masks",
+            G, D, state=restored, checkpoint_path=ckpt, config=cfg,
+            image_size=64, start_epoch=int(extra["epoch"]),
+            resume_best={"best_train_loss": 0.0},  # unbeatable
+        )
+        assert result["final_epoch"] == 2
+        # ONLY epochs 1..2 ran: 2 committed + 2 epochs x 2 batches
+        # (re-running the full range would give 2 + 3*2 = 8)
+        assert int(result["state"].step) == 2 + 4
+        # an unbeatable inherited best means the resumed run must never
+        # overwrite the best-model master written during run 1
+        _, extra2 = import_pth(ckpt, restored)
+        assert extra2["epoch"] == 0
+
     def test_sigterm_checkpoints_and_stops(self, tmp_path):
         """The actual signal path: SIGTERM mid-epoch (delivered while a
         batch runs) checkpoints and raises instead of dying."""
